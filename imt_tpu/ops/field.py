@@ -96,33 +96,37 @@ def _propagate(t, out_limbs: int):
 
     t: uint32[K, ...] with entries < 2^32 interpreted as sum(t[j] * 2^16j).
     Returns uint32[out_limbs, ...] with entries < 2^16.  The true value must
-    fit in out_limbs limbs.
+    fit in out_limbs limbs.  Runs as a lax.scan over the limb axis (compile-
+    friendly; the per-step work is elementwise over the whole batch).
     """
     k = t.shape[0]
-    outs = []
-    carry = jnp.zeros_like(t[0])
-    for j in range(k):
-        v = t[j] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    for _ in range(k, out_limbs):
-        outs.append(carry & MASK)
-        carry = carry >> LIMB_BITS
-    return jnp.stack(outs[:out_limbs])
+    if out_limbs > k:
+        t = jnp.concatenate(
+            [t, jnp.zeros((out_limbs - k,) + t.shape[1:], t.dtype)])
+    elif out_limbs < k:
+        t = t[:out_limbs]
+
+    def body(carry, tj):
+        v = tj + carry
+        return v >> LIMB_BITS, v & MASK
+
+    _, outs = jax.lax.scan(body, jnp.zeros_like(t[0]), t)
+    return outs
 
 
 def _ge(a, b_const: np.ndarray):
     """Lexicographic a >= b for limb arrays (a: [K, ...], b: constant [K])."""
-    k = a.shape[0]
-    res = jnp.ones(a.shape[1:], dtype=bool)  # equal-so-far => ge
-    # Scan from most-significant limb down.
-    decided = jnp.zeros(a.shape[1:], dtype=bool)
-    for j in range(k - 1, -1, -1):
-        bj = jnp.uint32(int(b_const[j]))
-        gt = a[j] > bj
-        lt = a[j] < bj
-        res = jnp.where(~decided & gt, True, jnp.where(~decided & lt, False, res))
-        decided = decided | gt | lt
+    bvec = jnp.asarray(b_const.astype(np.uint32))
+    bvec = jnp.broadcast_to(bvec[(slice(None),) + (None,) * (a.ndim - 1)], a.shape)
+
+    def body(carry, x):
+        # carry: "a >= b over limbs scanned so far" (low limbs); scanning up
+        # from the least-significant limb, higher limbs override.
+        aj, bj = x
+        return jnp.where(aj == bj, carry, aj > bj), None
+
+    init = jnp.ones(a.shape[1:], dtype=bool)  # all-equal => ge
+    res, _ = jax.lax.scan(body, init, (a, bvec))
     return res
 
 
@@ -140,17 +144,11 @@ def _cond_sub_2p(t17):
 # Core modular ops.  All arrays are uint32[16, *batch], value < 2p.
 # ---------------------------------------------------------------------------
 
-def mont_mul(a, b):
-    """Montgomery product a*b*R^{-1} mod p (CIOS, radix 2^16, lazy carries).
+def _cios_body(b, n, zero_row):
+    """CIOS iteration closure: fold one limb of `a` into the accumulator."""
 
-    Inputs < 2p with 16-bit limbs; output < 2p with 16-bit limbs.
-    """
-    batch_shape = a.shape[1:]
-    zero_row = jnp.zeros((1,) + batch_shape, dtype=jnp.uint32)
-    t = jnp.zeros((LIMBS + 1,) + batch_shape, dtype=jnp.uint32)
-    n = jnp.asarray(P_LIMBS)[(slice(None),) + (None,) * len(batch_shape)]
-    for i in range(LIMBS):
-        prod = a[i][None] * b                               # [16, ...] exact
+    def body(t, ai):
+        prod = ai[None] * b                                  # [16, ...] exact
         t = t + jnp.concatenate([prod & MASK, zero_row]) \
               + jnp.concatenate([zero_row, prod >> LIMB_BITS])
         m = ((t[0] & MASK) * N0_INV) & MASK                  # [...]
@@ -159,6 +157,28 @@ def mont_mul(a, b):
               + jnp.concatenate([zero_row, q >> LIMB_BITS])
         # t[0] is now divisible by 2^16: shift one limb down.
         t = jnp.concatenate([(t[1] + (t[0] >> LIMB_BITS))[None], t[2:], zero_row])
+        return t, None
+
+    return body
+
+
+def mont_mul(a, b, unroll: bool = False):
+    """Montgomery product a*b*R^{-1} mod p (CIOS, radix 2^16, lazy carries).
+
+    Inputs < 2p with 16-bit limbs; output < 2p with 16-bit limbs.  The limb
+    recursion runs as a lax.scan by default (small compiled graph); pass
+    unroll=True for a fully unrolled body (e.g. inside Pallas kernels).
+    """
+    batch_shape = a.shape[1:]
+    zero_row = jnp.zeros((1,) + batch_shape, dtype=jnp.uint32)
+    t = jnp.zeros((LIMBS + 1,) + batch_shape, dtype=jnp.uint32)
+    n = jnp.asarray(P_LIMBS)[(slice(None),) + (None,) * len(batch_shape)]
+    body = _cios_body(b, n, zero_row)
+    if unroll:
+        for i in range(LIMBS):
+            t, _ = body(t, a[i])
+    else:
+        t, _ = jax.lax.scan(body, t, a)
     # Lazy entries < ~2^23; value < 2p.  Canonicalize limbs.
     return _propagate(t, LIMBS)
 
@@ -184,14 +204,13 @@ def sub_mod(a, b):
     pad = jnp.zeros((1,) + a.shape[1:], dtype=jnp.int32)
     t = jnp.concatenate([a.astype(jnp.int32), pad]) \
         - jnp.concatenate([b.astype(jnp.int32), pad]) + fp
+
     # Signed sequential carry propagation (arithmetic >> gives floor division).
-    outs = []
-    carry = jnp.zeros_like(t[0])
-    for j in range(LIMBS + 1):
-        v = t[j] + carry
-        outs.append((v & MASK).astype(jnp.uint32))
-        carry = v >> LIMB_BITS
-    s = jnp.stack(outs)
+    def body(carry, tj):
+        v = tj + carry
+        return v >> LIMB_BITS, (v & MASK).astype(jnp.uint32)
+
+    _, s = jax.lax.scan(body, jnp.zeros_like(t[0]), t)
     s = _cond_sub_2p(s)
     s = _cond_sub_2p(jnp.concatenate([s, jnp.zeros_like(s[:1])]))
     return s
@@ -233,13 +252,14 @@ def is_zero(a):
 
 def less_than(a, b):
     """a < b on canonical values -> bool[batch]."""
-    res = jnp.zeros(a.shape[1:], dtype=bool)
-    decided = jnp.zeros(a.shape[1:], dtype=bool)
-    for j in range(a.shape[0] - 1, -1, -1):
-        lt = a[j] < b[j]
-        gt = a[j] > b[j]
-        res = jnp.where(~decided & lt, True, res)
-        decided = decided | lt | gt
+
+    def body(carry, x):
+        aj, bj = x
+        # scanning LSB -> MSB; a higher differing limb overrides.
+        return jnp.where(aj == bj, carry, aj < bj), None
+
+    init = jnp.zeros(a.shape[1:], dtype=bool)
+    res, _ = jax.lax.scan(body, init, (a, b))
     return res
 
 

@@ -1,10 +1,23 @@
-"""Test config: run JAX on a virtual 8-device CPU mesh so sharding paths are
-exercised without TPU hardware (the driver dry-runs the real multi-chip path
-separately via __graft_entry__.dryrun_multichip)."""
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+The session environment preloads jax with JAX_PLATFORMS=axon (a tunnel to one
+real TPU chip) where every XLA compile pays a ~40s RPC; CPU compiles the same
+graphs in seconds.  jax is already in sys.modules at interpreter startup, so
+env vars are too late — use jax.config.update before any backend initializes.
+The driver dry-runs the real multi-chip path separately via
+__graft_entry__.dryrun_multichip, and bench.py runs on the real chip.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeated test runs skip XLA recompiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
