@@ -1,0 +1,466 @@
+"""Indexed Merkle tree (Aztec-style nullifier tree) — TPU-native engine.
+
+Replicates the full capability surface of the reference
+(aerius-labs/indexed-merkle-tree-halo2) as data-parallel JAX computations:
+
+* Leaf semantics ``(val, next_val, next_idx)`` — a sorted linked list over
+  the leaf slots (reference src/utils.rs:12-17, src/indexed_merkle_tree.rs:13-17).
+* The insertion planner (low-leaf discovery + pointer rewrite) — reference
+  test helper ``update_idx_leaf`` (src/indexed_merkle_tree.rs:632-660),
+  vectorized over all slots (no host scan).
+* Sequential ``insert`` producing the exact witness bundle the reference
+  circuit consumes (old/new roots, low/new leaves, proofs, helper bits,
+  is_new_leaf_largest) with the reference's witness discipline: the new-leaf
+  proof is taken against the ALREADY-UPDATED tree
+  (src/indexed_merkle_tree.rs:734, SURVEY §3.4).
+* Batched ``insert_batch`` — the TPU flagship op.  Sequentially inserting a
+  batch yields a final linked list equal to the sorted successor structure
+  over {existing values} ∪ {accepted new values}, so the whole batch
+  resolves with ONE lexicographic sort (intra-batch low-leaf chains
+  included), one batched 3-to-1 rehash of dirty leaves, and a level-by-level
+  dirty-path tree update.  No sequential host loop.
+
+State layout: struct-of-arrays, canonical limbs ``uint32[16, N]`` per field
+(val / next_val / next_idx), plus the Merkle levels of the leaf-hash tree.
+
+Divergences from the reference (documented, deliberate):
+* Inserting a duplicate or zero is REJECTED (ok=False, slot consumed but
+  left as a zero leaf, pointers untouched).  The reference's host helper
+  silently no-ops on duplicates and then fails circuit verification
+  (src/indexed_merkle_tree.rs:639-660 falls through); zero is the list
+  sentinel.  Sequential and batched paths implement identical semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import field
+from ..ops import poseidon_jax
+from .merkle import MerkleTree, compute_root_from_helpers
+
+# H(0,0,0): the empty-slot leaf hash, hard-coded by the reference chip
+# (src/indexed_merkle_tree.rs:247-251).
+ZERO_LEAF_HASH = 1960587138944869480785025106734196872454309951825657414575195034687326603497
+
+
+@dataclass
+class InsertWitness:
+    """The argument bundle of the reference's insert_leaf chip
+    (src/indexed_merkle_tree.rs:231-244), as device arrays (K lanes)."""
+
+    ok: np.ndarray                      # bool[K]
+    old_root: jnp.ndarray               # [16, K]
+    low_leaf_val: jnp.ndarray           # [16, K]
+    low_leaf_next_val: jnp.ndarray      # [16, K]
+    low_leaf_next_idx: jnp.ndarray      # [16, K]
+    low_leaf_proof: jnp.ndarray         # [depth, 16, K]
+    low_leaf_proof_helper: jnp.ndarray  # [depth, K]
+    new_root: jnp.ndarray               # [16, K]
+    new_leaf_val: jnp.ndarray           # [16, K]
+    new_leaf_next_val: jnp.ndarray      # [16, K]
+    new_leaf_next_idx: jnp.ndarray      # [16, K]
+    new_leaf_index: jnp.ndarray         # int32[K]
+    new_leaf_proof: jnp.ndarray         # [depth, 16, K]
+    new_leaf_proof_helper: jnp.ndarray  # [depth, K]
+    is_new_leaf_largest: jnp.ndarray    # bool[K]
+
+
+def index_to_limbs(idx):
+    """int32[...] -> [16, ...] canonical limbs (indices < 2^31)."""
+    lo = (idx & field.MASK).astype(jnp.uint32)
+    hi = (jnp.right_shift(idx, field.LIMB_BITS)).astype(jnp.uint32)
+    rest = jnp.zeros((field.LIMBS - 2,) + lo.shape, dtype=jnp.uint32)
+    return jnp.concatenate([lo[None], hi[None], rest])
+
+
+def _gather_proof(levels, idx, depth: int):
+    """Sibling path + helper bits for one traced index (helper=1 iff the
+    path node is a left child — reference src/utils.rs:70-79)."""
+    proof, helpers = [], []
+    cur = idx
+    for _ in range(depth):
+        proof.append(jnp.take(levels[len(proof)], cur ^ 1, axis=1))
+        helpers.append((cur % 2 == 0).astype(jnp.int32))
+        cur = cur >> 1
+    return jnp.stack(proof)[:, :, None], jnp.stack(helpers)[:, None]
+
+
+def _update_paths(levels, dirty_idx, dirty_leaves, depth: int):
+    """Scatter updated leaves, then recompute ancestor nodes level-by-level.
+
+    dirty_idx: int32[D]; dirty_leaves: [16, D].  Parents are recomputed from
+    already-updated children, so duplicate or spurious dirty entries are
+    idempotent-safe (they just rewrite the same value).  D stays static, so
+    one compiled program serves any batch content."""
+    new_levels = [levels[0].at[:, dirty_idx].set(dirty_leaves)]
+    cur_idx = dirty_idx
+    for d in range(depth):
+        parent_idx = cur_idx >> 1
+        level = new_levels[d]
+        left = jnp.take(level, parent_idx * 2, axis=1)
+        right = jnp.take(level, parent_idx * 2 + 1, axis=1)
+        parent = poseidon_jax.hash2(left, right)
+        new_levels.append(levels[d + 1].at[:, parent_idx].set(parent))
+        cur_idx = parent_idx
+    return tuple(new_levels)
+
+
+# ---------------------------------------------------------------------------
+# Sequential insert step (witness path)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _insert_step_fn(depth: int):
+    n = 1 << depth
+
+    @jax.jit
+    def step(vals, nvs, nis, levels, new_val, count):
+        # vals/nvs/nis: [16, N]; levels: tuple([16, N >> d]); new_val: [16, 1]
+        # count: int32 scalar (prior inserts; this insert takes slot count+1)
+        old_root = levels[-1]
+
+        # --- planner: vectorized update_idx_leaf -----------------------------
+        # Only linked-list participants (slot 0 sentinel or occupied slots)
+        # are low-leaf candidates.  The reference's host loop also matches
+        # EMPTY slots for duplicate values (src/indexed_merkle_tree.rs:647
+        # with val=0, next_val=0), silently corrupting the list; we reject
+        # duplicates instead (ok=False, no state change).
+        nv_b = jnp.broadcast_to(new_val, (field.LIMBS, n))
+        occupied = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), ~field.is_zero(vals)[1:]])
+        mask = occupied & field.less_than(vals, nv_b) & (
+            field.less_than(nv_b, nvs) | field.is_zero(nvs))
+        ok = jnp.any(mask)
+        low_idx = jnp.argmax(mask).astype(jnp.int32)
+
+        low_val = jnp.take(vals, low_idx, axis=1)[:, None]
+        low_nv = jnp.take(nvs, low_idx, axis=1)[:, None]
+        low_ni = jnp.take(nis, low_idx, axis=1)[:, None]
+
+        low_proof, low_helpers = _gather_proof(levels, low_idx, depth)
+
+        # --- pointer rewrite -------------------------------------------------
+        s = (count + 1).astype(jnp.int32)
+        s_limbs = index_to_limbs(s[None])  # [16, 1]
+        new_leaf_nv = low_nv
+        new_leaf_ni = low_ni
+
+        vals2 = vals.at[:, s].set(new_val[:, 0])
+        nvs2 = nvs.at[:, low_idx].set(new_val[:, 0]).at[:, s].set(new_leaf_nv[:, 0])
+        nis2 = nis.at[:, low_idx].set(s_limbs[:, 0]).at[:, s].set(new_leaf_ni[:, 0])
+
+        # --- rehash the two touched leaves, update both paths ----------------
+        pair_idx = jnp.stack([low_idx, s])
+        pair_hash = poseidon_jax.hash3(
+            jnp.take(vals2, pair_idx, axis=1),
+            jnp.take(nvs2, pair_idx, axis=1),
+            jnp.take(nis2, pair_idx, axis=1))
+        new_levels = _update_paths(levels, pair_idx, pair_hash, depth)
+
+        # --- new-leaf proof against the UPDATED tree (reference :734) --------
+        new_proof, new_helpers = _gather_proof(new_levels, s, depth)
+        new_root = new_levels[-1]
+
+        vals_out = jnp.where(ok, vals2, vals)
+        nvs_out = jnp.where(ok, nvs2, nvs)
+        nis_out = jnp.where(ok, nis2, nis)
+        levels_out = tuple(jnp.where(ok, a, b)
+                           for a, b in zip(new_levels, levels))
+
+        witness = dict(
+            ok=ok[None], old_root=old_root,
+            low_leaf_val=low_val, low_leaf_next_val=low_nv,
+            low_leaf_next_idx=low_ni,
+            low_leaf_proof=low_proof, low_leaf_proof_helper=low_helpers,
+            new_root=new_root,
+            new_leaf_val=new_val, new_leaf_next_val=new_leaf_nv,
+            new_leaf_next_idx=new_leaf_ni,
+            new_leaf_index=s[None],
+            new_leaf_proof=new_proof, new_leaf_proof_helper=new_helpers,
+            is_new_leaf_largest=field.is_zero(new_leaf_nv),
+        )
+        return (vals_out, nvs_out, nis_out, levels_out), witness
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Batched insert (compute path, sort-based chain resolution)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _insert_batch_fn(depth: int, k: int):
+    n = 1 << depth
+    m = n + k
+
+    @jax.jit
+    def step(vals, nvs, nis, levels, new_vals, count):
+        # new_vals: [16, K] taking slots count+1 .. count+K (batch order)
+        slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
+
+        # Entry table: every existing slot + every new value.
+        all_vals = jnp.concatenate([vals, new_vals], axis=1)       # [16, M]
+        all_slots = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32), slots])               # [M]
+        is_new = jnp.concatenate(
+            [jnp.zeros(n, dtype=bool), jnp.ones(k, dtype=bool)])
+
+        # Ascending sort by (value, slot).  jnp.lexsort: LAST key is primary,
+        # so keys are (slot, limb0..limb15) -> primary limb15 (most
+        # significant), ties broken by lower limbs, then slot.  The slot
+        # tie-break encodes sequential acceptance priority: existing slots
+        # numerically precede new slots, and new slots follow batch order.
+        keys = (all_slots,) + tuple(all_vals[i] for i in range(field.LIMBS))
+        order = jnp.lexsort(keys)
+        sv = jnp.take(all_vals, order, axis=1)                     # sorted values
+        ss = jnp.take(all_slots, order)                            # sorted slots
+        snew = jnp.take(is_new, order)
+
+        # Participation: position 0 is the slot-0 sentinel (value 0, slot 0 is
+        # the global minimum pair).  Any later entry equal to its predecessor
+        # is a duplicate: empty existing slots tie the sentinel's 0, duplicate
+        # or zero new values tie their first occurrence -> all rejected.
+        eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
+        accepted = jnp.concatenate([jnp.ones(1, dtype=bool), ~eq_prev])
+
+        # Successor pointers among accepted entries (sorted order), skipping
+        # rejected entries: next accepted position via reverse cumulative min.
+        pos = jnp.arange(m, dtype=jnp.int32)
+        idx_if_acc = jnp.where(accepted, pos, m)
+        nxt = jax.lax.cummin(idx_if_acc, reverse=True)
+        nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])  # strict >
+        has_next = nxt < m
+        nxt_c = jnp.clip(nxt, 0, m - 1)
+        succ_val = jnp.where(has_next, jnp.take(sv, nxt_c, axis=1),
+                             jnp.zeros_like(sv))
+        succ_slot = jnp.where(has_next, jnp.take(ss, nxt_c), 0).astype(jnp.int32)
+
+        # Predecessor (low-leaf) slot per sorted position, for the dirty set:
+        # last accepted position strictly before each position.
+        idx_if_acc2 = jnp.where(accepted, pos, -1)
+        prv = jax.lax.cummax(idx_if_acc2)
+        prv = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv[:-1]])
+        prev_slot = jnp.take(ss, jnp.clip(prv, 0, m - 1)).astype(jnp.int32)
+
+        # Final per-entry leaf state (in sorted order): rejected/empty -> zeros.
+        w_val = jnp.where(accepted[None], sv, 0)
+        w_nv = jnp.where(accepted[None], succ_val, 0)
+        w_ni = jnp.where(accepted[None], index_to_limbs(succ_slot), 0)
+
+        # Back to original entry order via the inverse permutation: entry e
+        # sits at sorted position inv_order[e].  Entries 0..n-1 ARE the slots
+        # 0..n-1 in order, so the existing part needs no scatter at all; the
+        # k new entries then overwrite their (previously empty) slots — two
+        # sequenced writes, no duplicate-index scatter ambiguity.
+        inv_order = jnp.argsort(order)
+        pos_exist = inv_order[:n]
+        vals2 = jnp.take(w_val, pos_exist, axis=1)
+        nvs2 = jnp.take(w_nv, pos_exist, axis=1)
+        nis2 = jnp.take(w_ni, pos_exist, axis=1)
+        pos_new = inv_order[n:]
+        vals2 = vals2.at[:, slots].set(jnp.take(w_val, pos_new, axis=1))
+        nvs2 = nvs2.at[:, slots].set(jnp.take(w_nv, pos_new, axis=1))
+        nis2 = nis2.at[:, slots].set(jnp.take(w_ni, pos_new, axis=1))
+
+        # --- dirty leaves: the K new slots + their low leaves ----------------
+        dirty_low = jnp.take(prev_slot, pos_new)
+        dirty = jnp.concatenate([dirty_low, slots]).astype(jnp.int32)
+        dirty_hash = poseidon_jax.hash3(
+            jnp.take(vals2, dirty, axis=1),
+            jnp.take(nvs2, dirty, axis=1),
+            jnp.take(nis2, dirty, axis=1))
+        new_levels = _update_paths(levels, dirty, dirty_hash, depth)
+
+        ok = jnp.take(accepted, pos_new)  # per-insert acceptance, batch order
+        return (vals2, nvs2, nis2, new_levels), ok
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Verifier predicates (the reference chip's constraints as batched booleans)
+# ---------------------------------------------------------------------------
+
+def verify_non_inclusion(root, low_leaf_val, low_leaf_next_val,
+                         low_leaf_next_idx, low_leaf_proof,
+                         low_leaf_proof_helper, new_leaf_value,
+                         is_new_leaf_largest):
+    """Batched non-membership check — the reference's verify_non_inclusion
+    (src/indexed_merkle_tree.rs:127-229) as a device predicate.
+
+    All value args are canonical limbs [16, K]; proofs [depth, 16, K];
+    helpers [depth, K]; is_new_leaf_largest bool[K].  Returns bool[K]."""
+    next_is_zero = field.is_zero(low_leaf_next_val)
+    next_greater = field.less_than(new_leaf_value, low_leaf_next_val)
+    bound_ok = jnp.where(is_new_leaf_largest, next_is_zero, next_greater)
+
+    low_hash = poseidon_jax.hash3(low_leaf_val, low_leaf_next_val,
+                                  low_leaf_next_idx)
+    computed = compute_root_from_helpers(low_hash, low_leaf_proof,
+                                         low_leaf_proof_helper)
+    membership_ok = field.eq(computed, root)
+    val_less = field.less_than(low_leaf_val, new_leaf_value)
+    return bound_ok & membership_ok & val_less
+
+
+def insert_leaf(old_root, low_leaf_val, low_leaf_next_val, low_leaf_next_idx,
+                low_leaf_proof, low_leaf_proof_helper, new_root,
+                new_leaf_val, new_leaf_next_val, new_leaf_next_idx,
+                new_leaf_index, new_leaf_proof, new_leaf_proof_helper,
+                is_new_leaf_largest):
+    """Batched insertion verification — the reference's insert_leaf chip
+    (src/indexed_merkle_tree.rs:231-314) as a device predicate.
+
+    new_leaf_index: int32[K].  Returns bool[K] (all constraints hold)."""
+    k = old_root.shape[1]
+    ni = verify_non_inclusion(old_root, low_leaf_val, low_leaf_next_val,
+                              low_leaf_next_idx, low_leaf_proof,
+                              low_leaf_proof_helper, new_leaf_val,
+                              is_new_leaf_largest)
+
+    # interim root: low leaf rewritten to point at the new leaf (:265-284)
+    new_low_hash = poseidon_jax.hash3(
+        low_leaf_val, new_leaf_val, index_to_limbs(new_leaf_index))
+    interim_root = compute_root_from_helpers(
+        new_low_hash, low_leaf_proof, low_leaf_proof_helper)
+
+    # the target slot must hold the zero leaf under the interim root (:286-294)
+    zero_hash = jnp.broadcast_to(
+        jnp.asarray(field.int_to_limbs(ZERO_LEAF_HASH))[:, None],
+        (field.LIMBS, k))
+    slot_empty = field.eq(
+        compute_root_from_helpers(zero_hash, new_leaf_proof,
+                                  new_leaf_proof_helper),
+        interim_root)
+
+    # pointer inheritance (:296-297)
+    inherit = field.eq(new_leaf_next_val, low_leaf_next_val) & \
+        field.eq(new_leaf_next_idx, low_leaf_next_idx)
+
+    # final root (:299-313)
+    new_leaf_hash = poseidon_jax.hash3(new_leaf_val, new_leaf_next_val,
+                                       new_leaf_next_idx)
+    root_ok = field.eq(
+        compute_root_from_helpers(new_leaf_hash, new_leaf_proof,
+                                  new_leaf_proof_helper),
+        new_root)
+
+    return ni & slot_empty & inherit & root_ok
+
+
+# ---------------------------------------------------------------------------
+# Host-facing tree container
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _zero_level_roots(depth: int) -> list[int]:
+    """Node value per level of an all-empty tree: h_0 = H(0,0,0),
+    h_{d+1} = H2(h_d, h_d).  Computed with the python oracle (depth hashes)."""
+    from ..ops.poseidon_ref import generate_params, hash_fixed
+    params = generate_params()
+    h = [ZERO_LEAF_HASH]
+    for _ in range(depth):
+        h.append(hash_fixed([h[-1], h[-1]], params))
+    return h
+
+
+class IndexedMerkleTree:
+    """Indexed Merkle tree over 2^depth slots, all-empty at construction
+    (every preimage (0,0,0) — the reference's test initialization at
+    src/indexed_merkle_tree.rs:692-698)."""
+
+    def __init__(self, depth: int):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.tree_depth = depth
+        n = 1 << depth
+        self.num_slots = n
+        self.count = 0  # inserts performed (slot cursor)
+        z = jnp.zeros((field.LIMBS, n), dtype=jnp.uint32)
+        self.vals, self.next_vals, self.next_idxs = z, z, z
+        self.levels = tuple(
+            jnp.broadcast_to(
+                jnp.asarray(field.int_to_limbs(h))[:, None],
+                (field.LIMBS, n >> d)).astype(jnp.uint32)
+            for d, h in enumerate(_zero_level_roots(depth)))
+
+    # -- queries -------------------------------------------------------------
+
+    def get_root(self):
+        return self.levels[-1]
+
+    def get_root_int(self) -> int:
+        return field.limbs_to_int(np.asarray(self.levels[-1])[:, 0])
+
+    def get_proof(self, index: int):
+        tree = MerkleTree(list(self.levels))
+        return tree.get_proofs([index])
+
+    def verify_proof(self, leaf, index, root, proof) -> bool:
+        tree = MerkleTree(list(self.levels))
+        return tree.verify_proof(leaf, index, root, proof)
+
+    def get_leaf_ints(self, index: int):
+        v = field.limbs_to_int(np.asarray(self.vals)[:, index])
+        nv = field.limbs_to_int(np.asarray(self.next_vals)[:, index])
+        ni = field.limbs_to_int(np.asarray(self.next_idxs)[:, index])
+        return (v, nv, ni)
+
+    # -- mutation ------------------------------------------------------------
+
+    def insert(self, value: int) -> InsertWitness:
+        """Sequential insert with full witness bundle (reference parity)."""
+        if self.count + 1 >= self.num_slots:
+            raise ValueError("tree full")
+        step = _insert_step_fn(self.tree_depth)
+        new_val = jnp.asarray(field.int_to_limbs(value))[:, None]
+        (self.vals, self.next_vals, self.next_idxs, self.levels), w = step(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            new_val, jnp.int32(self.count))
+        self.count += 1
+        return InsertWitness(ok=np.asarray(w["ok"]), **{
+            k: v for k, v in w.items() if k != "ok"})
+
+    def insert_batch(self, values: list[int] | np.ndarray) -> np.ndarray:
+        """Batched insert (sequential semantics, sort-resolved).  Returns the
+        per-value acceptance mask."""
+        k = len(values)
+        if self.count + k >= self.num_slots:
+            raise ValueError("tree full")
+        step = _insert_batch_fn(self.tree_depth, k)
+        new_vals = field.ints_to_limbs([int(v) for v in values])
+        (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            jnp.asarray(new_vals), jnp.int32(self.count))
+        self.count += k
+        return np.asarray(ok)
+
+    # -- serialization (checkpoint/resume; the serde-derive hook of the
+    #    reference, src/utils.rs:12) ----------------------------------------
+
+    def to_arrays(self) -> dict:
+        return {
+            "depth": np.int64(self.tree_depth),
+            "count": np.int64(self.count),
+            "vals": np.asarray(self.vals),
+            "next_vals": np.asarray(self.next_vals),
+            "next_idxs": np.asarray(self.next_idxs),
+        }
+
+    @classmethod
+    def from_arrays(cls, arrays: dict) -> "IndexedMerkleTree":
+        tree = cls(int(arrays["depth"]))
+        tree.count = int(arrays["count"])
+        tree.vals = jnp.asarray(arrays["vals"])
+        tree.next_vals = jnp.asarray(arrays["next_vals"])
+        tree.next_idxs = jnp.asarray(arrays["next_idxs"])
+        leaves = poseidon_jax.hash3(tree.vals, tree.next_vals, tree.next_idxs)
+        tree.levels = tuple(MerkleTree.build(leaves).levels)
+        return tree
