@@ -88,16 +88,95 @@ def int_to_mont_limbs(x: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Constant bundle
+#
+# Outside Pallas, ops materialize their constant limb tables lazily from the
+# numpy globals.  Inside a Pallas kernel, captured array constants are not
+# allowed -- the kernel builds a FieldConsts from slices of a VMEM ref and
+# passes it to every op (see poseidon_pallas.py).
+# ---------------------------------------------------------------------------
+
+class FieldConsts:
+    """Broadcastable constant columns ([K, 1]-shaped) for the field ops."""
+
+    __slots__ = ("p", "neg_two_p17", "two_p17", "p17", "neg_p17", "r2", "one")
+
+    def __init__(self, p, neg_two_p17, two_p17, p17, neg_p17, r2, one):
+        self.p = p                    # [16, 1] modulus limbs
+        self.neg_two_p17 = neg_two_p17  # [17, 1] 2^272 - 2p
+        self.two_p17 = two_p17        # [17, 1] 2p
+        self.p17 = p17                # [17, 1] p
+        self.neg_p17 = neg_p17        # [17, 1] 2^272 - p
+        self.r2 = r2                  # [16, 1] R^2 mod p (standard form)
+        self.one = one                # [16, 1] 1 (standard form)
+
+
+def _np_col(vals, n):
+    return np.array(_int_to_limbs_list(vals, n), dtype=np.uint32)[:, None]
+
+
+def default_consts() -> FieldConsts:
+    """Constants as numpy columns (fine outside Pallas)."""
+    return FieldConsts(
+        p=_np_col(P, LIMBS),
+        neg_two_p17=_np_col((1 << 272) - TWO_P, 17),
+        two_p17=_np_col(TWO_P, 17),
+        p17=_np_col(P, 17),
+        neg_p17=_np_col((1 << 272) - P, 17),
+        r2=_np_col(R2_MOD_P, LIMBS),
+        one=_np_col(1, LIMBS),
+    )
+
+
+CONST_COLUMNS = ("p", "neg_two_p17", "two_p17", "p17", "neg_p17", "r2", "one")
+
+
+def consts_table() -> np.ndarray:
+    """All constant columns packed as uint32[17, n_cols] (limb-major), for
+    shipping into a Pallas kernel as one ref."""
+    fc = default_consts()
+    cols = []
+    for name in CONST_COLUMNS:
+        c = getattr(fc, name)
+        if c.shape[0] < 17:
+            c = np.concatenate([c, np.zeros((17 - c.shape[0], 1), np.uint32)])
+        cols.append(c)
+    return np.concatenate(cols, axis=1)
+
+
+def consts_from_table(tab) -> FieldConsts:
+    """Rebuild FieldConsts from a [17, n_cols] array/ref value."""
+    kw = {}
+    for i, name in enumerate(CONST_COLUMNS):
+        col = tab[:, i:i + 1]
+        kw[name] = col[:LIMBS] if name in ("p", "r2", "one") else col
+    return FieldConsts(**kw)
+
+
+# ---------------------------------------------------------------------------
 # Carry handling
 # ---------------------------------------------------------------------------
 
-def _propagate(t, out_limbs: int):
-    """Exact sequential carry propagation of a lazy limb array.
+def _shift_down(x, k: int):
+    """Shift limb rows toward higher indices by k (zeros fill): out[j] = x[j-k]."""
+    if k == 0:
+        return x
+    pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-k]], axis=0)
 
-    t: uint32[K, ...] with entries < 2^32 interpreted as sum(t[j] * 2^16j).
+
+def _propagate(t, out_limbs: int, unroll: bool = False):
+    """Exact carry propagation of a lazy limb array — fully parallel.
+
+    t: uint32[K, ...] with entries < 2^23 interpreted as sum(t[j] * 2^16j).
     Returns uint32[out_limbs, ...] with entries < 2^16.  The true value must
-    fit in out_limbs limbs.  Runs as a lax.scan over the limb axis (compile-
-    friendly; the per-step work is elementwise over the whole batch).
+    fit in out_limbs limbs.
+
+    One local combine pass leaves digits x_j <= 2^16 + 127 whose pending
+    carries are 0/1; a Kogge-Stone prefix over (generate, propagate) bits
+    resolves them exactly in ceil(log2(K)) vector steps — no scan, no
+    sequential limb walk (the TPU-native replacement for the carry loop a
+    CPU bignum would use).  `unroll` is accepted for API compatibility.
     """
     k = t.shape[0]
     if out_limbs > k:
@@ -105,35 +184,52 @@ def _propagate(t, out_limbs: int):
             [t, jnp.zeros((out_limbs - k,) + t.shape[1:], t.dtype)])
     elif out_limbs < k:
         t = t[:out_limbs]
+    k = out_limbs
 
-    def body(carry, tj):
-        v = tj + carry
-        return v >> LIMB_BITS, v & MASK
-
-    _, outs = jax.lax.scan(body, jnp.zeros_like(t[0]), t)
-    return outs
-
-
-def _ge(a, b_const: np.ndarray):
-    """Lexicographic a >= b for limb arrays (a: [K, ...], b: constant [K])."""
-    bvec = jnp.asarray(b_const.astype(np.uint32))
-    bvec = jnp.broadcast_to(bvec[(slice(None),) + (None,) * (a.ndim - 1)], a.shape)
-
-    def body(carry, x):
-        # carry: "a >= b over limbs scanned so far" (low limbs); scanning up
-        # from the least-significant limb, higher limbs override.
-        aj, bj = x
-        return jnp.where(aj == bj, carry, aj > bj), None
-
-    init = jnp.ones(a.shape[1:], dtype=bool)  # all-equal => ge
-    res, _ = jax.lax.scan(body, init, (a, bvec))
-    return res
+    # Local pass: entries < 2^23 ==> carried-up parts < 2^7, x <= 2^16 + 127.
+    x = (t & MASK) + _shift_down(t >> LIMB_BITS, 1)
+    g = x >> LIMB_BITS                         # 1 iff position generates a carry
+    p = ((x & MASK) == MASK).astype(x.dtype)   # propagates an incoming carry
+    # Kogge-Stone prefix: G[j] = "carry out of the prefix ending at j".
+    step = 1
+    while step < k:
+        g = g | (p & _shift_down(g, step))
+        p = p & _shift_down(p, step)
+        step <<= 1
+    carry_in = _shift_down(g, 1)
+    return (x + carry_in) & MASK
 
 
-def _cond_sub_2p(t17):
+def _borrow_lt(a, b):
+    """Lexicographic a < b via a parallel borrow chain (Kogge-Stone over
+    generate = a_j < b_j, propagate = a_j == b_j).  Pure elementwise ops +
+    static shifts — no gathers, no scans; equal values -> False."""
+    g = a < b
+    p = a == b
+    step = 1
+    k = a.shape[0]
+    while step < k:
+        g = g | (p & _shift_down(g, step))
+        p = p & _shift_down(p, step)
+        step <<= 1
+    # static slice + squeeze (plain g[-1] lowers to dynamic_slice, which
+    # Mosaic cannot lower inside Pallas kernels)
+    return jnp.squeeze(jax.lax.slice_in_dim(g, k - 1, k, axis=0), axis=0)
+
+
+def _ge_col(a, b_col):
+    """Lexicographic a >= b; b is a broadcastable [K, 1...] column."""
+    bvec = jnp.broadcast_to(
+        jnp.reshape(b_col, (a.shape[0],) + (1,) * (a.ndim - 1)), a.shape)
+    return ~_borrow_lt(a, bvec)
+
+
+def _cond_sub_2p(t17, unroll: bool = False, fc: FieldConsts | None = None):
     """t (17 canonical limbs, value < 4p) -> value mod-2p-folded (< 2p), 16 limbs."""
-    ge = _ge(t17, TWO_P_LIMBS_17)
-    diff = _propagate(t17 + NEG_TWO_P_17[(slice(None),) + (None,) * (t17.ndim - 1)], 17)
+    fc = fc or default_consts()
+    ge = _ge_col(t17, fc.two_p17)
+    neg = jnp.reshape(fc.neg_two_p17, (17,) + (1,) * (t17.ndim - 1))
+    diff = _propagate(t17 + neg, 17, unroll=unroll)
     # diff = t - 2p + 2^272; when ge, the 2^272 bit (limb 17) is dropped by
     # taking only 17 limbs and masking the top limb's overflow.
     sel = jnp.where(ge[None], diff, t17)
@@ -162,31 +258,34 @@ def _cios_body(b, n, zero_row):
     return body
 
 
-def mont_mul(a, b, unroll: bool = False):
+def mont_mul(a, b, unroll: bool = False, fc: FieldConsts | None = None):
     """Montgomery product a*b*R^{-1} mod p (CIOS, radix 2^16, lazy carries).
 
     Inputs < 2p with 16-bit limbs; output < 2p with 16-bit limbs.  The limb
     recursion runs as a lax.scan by default (small compiled graph); pass
     unroll=True for a fully unrolled body (e.g. inside Pallas kernels).
     """
+    fc = fc or default_consts()
     batch_shape = a.shape[1:]
     zero_row = jnp.zeros((1,) + batch_shape, dtype=jnp.uint32)
     t = jnp.zeros((LIMBS + 1,) + batch_shape, dtype=jnp.uint32)
-    n = jnp.asarray(P_LIMBS)[(slice(None),) + (None,) * len(batch_shape)]
+    n = jnp.reshape(fc.p, (LIMBS,) + (1,) * len(batch_shape))
     body = _cios_body(b, n, zero_row)
     if unroll:
+        # plain python loop: required inside Pallas kernels (Mosaic cannot
+        # lower scans with extensive inputs) and gives XLA a flat graph.
         for i in range(LIMBS):
             t, _ = body(t, a[i])
     else:
         t, _ = jax.lax.scan(body, t, a)
     # Lazy entries < ~2^23; value < 2p.  Canonicalize limbs.
-    return _propagate(t, LIMBS)
+    return _propagate(t, LIMBS, unroll=unroll)
 
 
-def add_mod(a, b):
+def add_mod(a, b, unroll: bool = False, fc: FieldConsts | None = None):
     """(a + b) folded below 2p.  Inputs < 2p (or < 4p combined headroom)."""
-    s = _propagate(a + b, LIMBS + 1)
-    return _cond_sub_2p(s)
+    s = _propagate(a + b, LIMBS + 1, unroll=unroll)
+    return _cond_sub_2p(s, unroll=unroll, fc=fc)
 
 
 _FOUR_P_17 = np.array(_int_to_limbs_list(4 * P, 17), dtype=np.uint32)
@@ -216,27 +315,27 @@ def sub_mod(a, b):
     return s
 
 
-def normalize(a):
+def normalize(a, unroll: bool = False, fc: FieldConsts | None = None):
     """Reduce a (< 2p) to canonical form (< p)."""
-    p17 = np.array(_int_to_limbs_list(P, 17), dtype=np.uint32)
-    neg_p17 = np.array(_int_to_limbs_list((1 << 272) - P, 17), dtype=np.uint32)
+    fc = fc or default_consts()
     a17 = jnp.concatenate([a, jnp.zeros_like(a[:1])])
-    ge = _ge(a17, p17)
-    diff = _propagate(a17 + jnp.asarray(neg_p17)[(slice(None),) + (None,) * (a.ndim - 1)], 17)
+    ge = _ge_col(a17, fc.p17)
+    neg = jnp.reshape(fc.neg_p17, (17,) + (1,) * (a.ndim - 1))
+    diff = _propagate(a17 + neg, 17, unroll=unroll)
     return jnp.where(ge[None], diff, a17)[:LIMBS]
 
 
-def to_mont(a):
+def to_mont(a, unroll: bool = False, fc: FieldConsts | None = None):
     """Standard form -> Montgomery form (multiply by R^2 then reduce)."""
-    r2 = jnp.asarray(int_to_limbs(R2_MOD_P))[(slice(None),) + (None,) * (a.ndim - 1)]
-    return mont_mul(a, jnp.broadcast_to(r2, a.shape))
+    fc = fc or default_consts()
+    r2 = jnp.reshape(fc.r2, (LIMBS,) + (1,) * (a.ndim - 1))
+    return mont_mul(a, jnp.broadcast_to(r2, a.shape), unroll=unroll, fc=fc)
 
-def from_mont(a):
+def from_mont(a, unroll: bool = False, fc: FieldConsts | None = None):
     """Montgomery form -> standard form (< 2p; normalize() for canonical)."""
-    one = np.zeros(LIMBS, dtype=np.uint32)
-    one[0] = 1
-    o = jnp.asarray(one)[(slice(None),) + (None,) * (a.ndim - 1)]
-    return mont_mul(a, jnp.broadcast_to(o, a.shape))
+    fc = fc or default_consts()
+    o = jnp.reshape(fc.one, (LIMBS,) + (1,) * (a.ndim - 1))
+    return mont_mul(a, jnp.broadcast_to(o, a.shape), unroll=unroll, fc=fc)
 
 
 # ---------------------------------------------------------------------------
@@ -251,16 +350,9 @@ def is_zero(a):
     return jnp.all(a == 0, axis=0)
 
 def less_than(a, b):
-    """a < b on canonical values -> bool[batch]."""
-
-    def body(carry, x):
-        aj, bj = x
-        # scanning LSB -> MSB; a higher differing limb overrides.
-        return jnp.where(aj == bj, carry, aj < bj), None
-
-    init = jnp.zeros(a.shape[1:], dtype=bool)
-    res, _ = jax.lax.scan(body, init, (a, b))
-    return res
+    """a < b on canonical values -> bool[batch] (parallel borrow chain;
+    equal values -> False)."""
+    return _borrow_lt(a, b)
 
 
 def select(cond, a, b):

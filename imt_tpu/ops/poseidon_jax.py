@@ -61,10 +61,18 @@ def _prep(spec: PoseidonSpecArrays):
 
 
 class Poseidon:
-    """Batched Poseidon engine bound to one spec (default: BN254 t=3 8/57)."""
+    """Batched Poseidon engine bound to one spec (default: BN254 t=3 8/57).
 
-    def __init__(self, spec: PoseidonSpecArrays | None = None):
+    unroll=False (default): rounds and CIOS limb loops run under lax.scan —
+    small compiled graphs, best for CPU/tests and cold compiles.
+    unroll=True: everything unrolled into one flat elementwise graph — no
+    while-loop dispatch overhead, best for TPU throughput (XLA fuses the
+    whole permutation; compile is slower but cached)."""
+
+    def __init__(self, spec: PoseidonSpecArrays | None = None,
+                 unroll: bool = False):
         self.spec = spec or default_spec()
+        self.unroll = unroll
         self._rc, self._mds_flat, self._iv, self._one = _prep(self.spec)
 
     # -- internals ---------------------------------------------------------
@@ -77,17 +85,18 @@ class Poseidon:
         b = st.shape[-1]
         # Products for all (i, j): gather st[j] per flattened index.
         st_g = jnp.concatenate([st] * t, axis=1)            # [16, t*t, B], index j fast
-        prods = field.mont_mul(jnp.broadcast_to(self._mds_flat, (field.LIMBS, t * t, b)), st_g)
+        prods = field.mont_mul(jnp.broadcast_to(self._mds_flat, (field.LIMBS, t * t, b)), st_g,
+                               unroll=self.unroll)
         # Tree-add groups of t.
         acc = prods[:, 0::t, :]
         for j in range(1, t):
-            acc = field.add_mod(acc, prods[:, j::t, :])
-        return field.add_mod(acc, jnp.broadcast_to(rc_round, acc.shape))
+            acc = field.add_mod(acc, prods[:, j::t, :], unroll=self.unroll)
+        return field.add_mod(acc, jnp.broadcast_to(rc_round, acc.shape), unroll=self.unroll)
 
     def _sbox_full(self, st):
-        x2 = field.mont_mul(st, st)
-        x4 = field.mont_mul(x2, x2)
-        return field.mont_mul(x4, st)
+        x2 = field.mont_mul(st, st, unroll=self.unroll)
+        x4 = field.mont_mul(x2, x2, unroll=self.unroll)
+        return field.mont_mul(x4, st, unroll=self.unroll)
 
     def permute(self, st):
         """One Poseidon permutation on state [16, t, B] (Montgomery, < 2p).
@@ -101,7 +110,7 @@ class Poseidon:
         half = spec.r_f // 2
         rc = jnp.asarray(self._rc)
 
-        st = field.add_mod(st, jnp.broadcast_to(rc[0], st.shape))
+        st = field.add_mod(st, jnp.broadcast_to(rc[0], st.shape), unroll=self.unroll)
 
         def full_body(s, rc_row):
             s = self._sbox_full(s)
@@ -112,11 +121,17 @@ class Poseidon:
             s = jnp.concatenate([x0, s[:, 1:, :]], axis=1)
             return self._mds_round(s, rc_row), None
 
-        st, _ = jax.lax.scan(full_body, st, rc[1:half + 1])
-        st, _ = jax.lax.scan(partial_body, st, rc[half + 1:half + 1 + spec.r_p])
         rc_tail = jnp.concatenate([rc[half + 1 + spec.r_p:],
                                    jnp.zeros_like(rc[:1])])
-        st, _ = jax.lax.scan(full_body, st, rc_tail)
+        # Rounds stay scanned even in unroll mode: the inner field ops are
+        # flat (no nested while loops), the per-round body fuses into a few
+        # kernels, and the compiled graph stays small enough for remote
+        # compile.  Full rounds (4 iterations) unroll inside the scan.
+        st, _ = jax.lax.scan(full_body, st, rc[1:half + 1],
+                             unroll=self.unroll)
+        st, _ = jax.lax.scan(partial_body, st,
+                             rc[half + 1:half + 1 + spec.r_p])
+        st, _ = jax.lax.scan(full_body, st, rc_tail, unroll=self.unroll)
         return st
 
     # -- public hashing API ------------------------------------------------
@@ -129,14 +144,16 @@ class Poseidon:
         bsz = a.shape[1:]
         iv = jnp.broadcast_to(jnp.asarray(self._iv), (field.LIMBS, self.spec.t) + bsz)
         st = jnp.concatenate([
-            iv[:, 0:1], field.to_mont(a)[:, None], field.to_mont(b)[:, None],
+            iv[:, 0:1], field.to_mont(a, unroll=self.unroll)[:, None],
+            field.to_mont(b, unroll=self.unroll)[:, None],
         ], axis=1)
         st = self.permute(st)
         one = jnp.broadcast_to(jnp.asarray(self._one)[:, None], (field.LIMBS, 1) + bsz)
         st = jnp.concatenate([
-            st[:, 0:1], field.add_mod(st[:, 1:2], one), st[:, 2:3]], axis=1)
+            st[:, 0:1], field.add_mod(st[:, 1:2], one, unroll=self.unroll),
+            st[:, 2:3]], axis=1)
         st = self.permute(st)
-        return field.normalize(field.from_mont(st[:, 1]))
+        return field.normalize(field.from_mont(st[:, 1], unroll=self.unroll), unroll=self.unroll)
 
     def hash3(self, a, b, c):
         """Batched 3-to-1 hash (indexed leaf), canonical limbs [16, B].
@@ -146,17 +163,18 @@ class Poseidon:
         bsz = a.shape[1:]
         iv = jnp.broadcast_to(jnp.asarray(self._iv), (field.LIMBS, self.spec.t) + bsz)
         st = jnp.concatenate([
-            iv[:, 0:1], field.to_mont(a)[:, None], field.to_mont(b)[:, None],
+            iv[:, 0:1], field.to_mont(a, unroll=self.unroll)[:, None],
+            field.to_mont(b, unroll=self.unroll)[:, None],
         ], axis=1)
         st = self.permute(st)
         one = jnp.broadcast_to(jnp.asarray(self._one)[:, None], (field.LIMBS, 1) + bsz)
         st = jnp.concatenate([
             st[:, 0:1],
-            field.add_mod(st[:, 1:2], field.to_mont(c)[:, None]),
-            field.add_mod(st[:, 2:3], one),
+            field.add_mod(st[:, 1:2], field.to_mont(c, unroll=self.unroll)[:, None], unroll=self.unroll),
+            field.add_mod(st[:, 2:3], one, unroll=self.unroll),
         ], axis=1)
         st = self.permute(st)
-        return field.normalize(field.from_mont(st[:, 1]))
+        return field.normalize(field.from_mont(st[:, 1], unroll=self.unroll), unroll=self.unroll)
 
 
 # Module-level default engine + jitted entry points.

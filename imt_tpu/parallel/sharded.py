@@ -1,0 +1,110 @@
+"""Multi-chip sharding for the indexed-Merkle-tree engine.
+
+The reference is single-threaded Rust (SURVEY §2.3: no parallel or
+distributed machinery exists there); this module is the TPU-native scaling
+design from SURVEY §7.2 L4:
+
+* Mesh axis ``shard``: tree leaves (and hash batches) are sharded over it.
+* Hash batches are embarrassingly data-parallel — jit with a NamedSharding on
+  the batch axis; XLA inserts no collectives.
+* Tree build: each shard reduces its local subtree level-by-level
+  (hash2 pairs never straddle shard boundaries while the local width is
+  even), then ONE all_gather of the [16, D] shard roots and a tiny replicated
+  top-tree reduction.  This keeps the latency-bound top levels to a single
+  collective (SURVEY §7.4 hard-part 4).
+* Batched insert: the whole jitted insert-batch step can be GSPMD-partitioned
+  (sort/scatter get XLA-inserted collectives) by passing sharded inputs.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import field
+from ..ops import poseidon_jax
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_batch(arr, mesh: Mesh, axis: str = "shard"):
+    """Place a [16, B] limb array with B sharded over the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P(None, axis)))
+
+
+@lru_cache(maxsize=None)
+def _sharded_build_fn(local_depth: int, n_shards: int, mesh_key):
+    mesh = _MESHES[mesh_key]
+
+    # check_vma=False: the field core's lax.scan carries start from constant
+    # zeros (unvarying) and combine with per-shard data, which the varying-
+    # manual-axes checker rejects; the computation is shard-local by design.
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(None, "shard"),),
+             out_specs=(P(None, "shard"), P(None, None)), check_vma=False)
+    def build(local_leaves):
+        # local_leaves: [16, N/D] on each shard
+        cur = local_leaves
+        for _ in range(local_depth):
+            cur = poseidon_jax.hash2(cur[:, 0::2], cur[:, 1::2])
+        # cur: [16, 1] local subtree root; gather all shard roots (tiny)
+        roots = jax.lax.all_gather(cur, "shard", axis=1, tiled=True)  # [16, D]
+        top = [roots]
+        while top[-1].shape[1] > 1:
+            t = top[-1]
+            top.append(poseidon_jax.hash2(t[:, 0::2], t[:, 1::2]))
+        return cur, jnp.concatenate(top, axis=1)
+
+    return build
+
+
+# shard_map needs the mesh at trace time; key meshes for the lru cache.
+_MESHES: dict = {}
+
+
+def sharded_tree_root(leaves, mesh: Mesh):
+    """Root of the Poseidon Merkle tree over sharded leaves.
+
+    leaves: [16, N] (N = power of two, divisible by mesh size).  Returns
+    (shard_roots [16, D], top_nodes [16, 2D-1]) — top_nodes[:, -1] is the
+    global root; bit-exact with the single-device MerkleTree build."""
+    n = leaves.shape[1]
+    d = mesh.devices.size
+    if n % d or (n // d) & (n // d - 1):
+        raise ValueError("leaves per shard must be a power of two")
+    local_depth = (n // d).bit_length() - 1
+    key = (tuple(d.id for d in mesh.devices.flat),)
+    _MESHES[key] = mesh
+    shard_roots, top = _sharded_build_fn(local_depth, d, key)(
+        shard_batch(leaves, mesh))
+    return shard_roots, top
+
+
+def sharded_root(leaves, mesh: Mesh):
+    _, top = sharded_tree_root(leaves, mesh)
+    return top[:, -1:]
+
+
+def sharded_hash2(a, b, mesh: Mesh):
+    """Data-parallel batched 2-to-1 hash over the mesh (batch sharded)."""
+    sh = NamedSharding(mesh, P(None, "shard"))
+    f = jax.jit(poseidon_jax.default_engine().hash2,
+                in_shardings=(sh, sh), out_shardings=sh)
+    return f(jax.device_put(a, sh), jax.device_put(b, sh))
+
+
+def sharded_hash3(a, b, c, mesh: Mesh):
+    sh = NamedSharding(mesh, P(None, "shard"))
+    f = jax.jit(poseidon_jax.default_engine().hash3,
+                in_shardings=(sh, sh, sh), out_shardings=sh)
+    return f(jax.device_put(a, sh), jax.device_put(b, sh),
+             jax.device_put(c, sh))

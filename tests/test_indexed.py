@@ -155,29 +155,30 @@ def test_insert_batch_matches_sequential():
 
 def test_insert_batch_with_rejects_matches_sequential():
     values = [30, 10, 30, 0, 50, 7]  # dup of batch element + zero
-    seq = IndexedMerkleTree(4)
+    seq = IndexedMerkleTree(3)
     seq_ok = [bool(seq.insert(v).ok[0]) for v in values]
-    bat = IndexedMerkleTree(4)
+    bat = IndexedMerkleTree(3)
     ok = bat.insert_batch(values)
     assert list(ok) == seq_ok == [True, True, False, False, True, True]
     assert bat.get_root_int() == seq.get_root_int()
 
 
 def test_insert_batch_duplicate_of_existing_rejected():
-    tree = IndexedMerkleTree(4)
+    tree = IndexedMerkleTree(3)
     tree.insert(10)
-    ok = tree.insert_batch([5, 10, 20])
-    assert list(ok) == [True, False, True]
+    # K=6 reuses the (depth,K) compile of the other batch tests
+    ok = tree.insert_batch([5, 10, 20, 31, 32, 33])
+    assert list(ok) == [True, False, True, True, True, True]
 
 
 def test_random_sequences_match_oracle():
     # Distinct values only: on duplicates the reference planner corrupts the
     # list through empty slots (documented divergence; we reject instead).
     rng = random.Random(1234)
-    depth = 4
+    depth = 3
     tree = IndexedMerkleTree(depth)
     oracle = OracleIndexedTree(depth)
-    vals = list({rng.randrange(1, field.P) for _ in range(8)})
+    vals = list({rng.randrange(1, field.P) for _ in range(6)})
     for v in vals:
         w = tree.insert(v)
         ow = oracle.insert(v)
@@ -187,7 +188,7 @@ def test_random_sequences_match_oracle():
 
 def test_serialization_roundtrip():
     tree = IndexedMerkleTree(3)
-    tree.insert_batch([9, 4, 77])
+    tree.insert_batch([9, 4, 77, 81, 2, 55])
     arrays = tree.to_arrays()
     restored = IndexedMerkleTree.from_arrays(arrays)
     assert restored.get_root_int() == tree.get_root_int()
@@ -198,9 +199,8 @@ def test_serialization_roundtrip():
 
 
 def test_tree_full():
-    tree = IndexedMerkleTree(2)  # 4 slots: sentinel + 3
-    tree.insert(1)
-    tree.insert(2)
-    tree.insert(3)
+    tree = IndexedMerkleTree(3)  # 8 slots: sentinel + 7
+    for v in range(1, 8):
+        tree.insert(v)
     with pytest.raises(ValueError):
-        tree.insert(4)
+        tree.insert(8)
