@@ -5,17 +5,26 @@ inner loop of the entire system — SURVEY §3.1).  vs_baseline is the ratio
 against the 10M perms/s/chip north-star target (BASELINE.md; the reference
 publishes no numbers).
 
+Measurement protocol (required on the axon TPU tunnel):
+  * iterate the permutation K times INSIDE one jitted fori_loop, inputs
+    derived on-device and outputs sliced tiny, so per-call RPC latency and
+    host<->device transfer (both huge through the tunnel) stay out of the
+    measurement;
+  * compute the rate from the (K2 - K1) slope between two runs;
+  * end timed sections with np.asarray (block_until_ready returns early on
+    this platform).
+
 Usage:
-    python bench.py            # full run on the default platform (TPU)
-    python bench.py --smoke    # tiny shapes, quick sanity
-    python bench.py --insert   # secondary: batched leaf-inserts/s, depth 24
+    python bench.py                 # permutation slope bench (TPU)
+    python bench.py --smoke         # tiny + quick
+    python bench.py --engine int    # int32 CIOS path instead of MXU engine
+    python bench.py --insert        # secondary: batched leaf-inserts/s
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import random
 import sys
 import time
 
@@ -24,43 +33,68 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_perms(batch: int, iters: int) -> float:
+def _setup_jax():
     import jax
+    try:
+        import os
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    return jax
+
+
+def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
+    jax = _setup_jax()
     import jax.numpy as jnp
-
-    from imt_tpu.ops import field, poseidon_jax
-    jax.config.update("jax_compilation_cache_dir", 
-                      __file__.rsplit("/", 1)[0] + "/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
-    rng = random.Random(0xBE7C)
-    a = jnp.asarray(field.ints_to_limbs(
-        [rng.randrange(field.P) for _ in range(batch)]))
-    b = jnp.asarray(field.ints_to_limbs(
-        [rng.randrange(field.P) for _ in range(batch)]))
-
-    f = jax.jit(poseidon_jax.Poseidon(unroll=True).hash2)
-    log(f"compiling hash2 for batch={batch} ...")
-    t0 = time.time()
-    out = jax.block_until_ready(f(a, b))
-    log(f"compile+first run: {time.time()-t0:.1f}s")
-
     import numpy as np
-    t0 = time.time()
-    for _ in range(iters):
-        out = f(a, out)
-    # force a device->host transfer: on the axon platform block_until_ready
-    # returns before remote execution completes, inflating rates
-    np.asarray(out)
-    dt = time.time() - t0
-    # one hash2 = exactly 2 permutations per lane (SURVEY §3.1)
-    perms = 2 * batch * iters
-    log(f"{perms} perms in {dt:.3f}s -> {perms/dt:,.0f} perms/s")
-    return perms / dt
+
+    if engine == "mxu":
+        from imt_tpu.ops import field_f32 as ff
+        from imt_tpu.ops.poseidon_mxu import PoseidonMXU
+        eng = PoseidonMXU()
+        shape = (ff.DIGITS, 3, batch)
+        mask = jnp.uint32(0xFF)
+        cast = lambda x: x.astype(jnp.float32)
+    else:
+        from imt_tpu.ops import poseidon_jax
+        eng = poseidon_jax.Poseidon(unroll=(engine == "int"))
+        shape = (16, 3, batch)
+        mask = jnp.uint32(0x3FFF)
+        cast = lambda x: x
+
+    def make(k):
+        @jax.jit
+        def f(seed):
+            base = jax.lax.broadcasted_iota(jnp.uint32, shape, 2) ^ seed
+            st = cast(base & mask)
+            st = jax.lax.fori_loop(0, k, lambda i, s: eng.permute(s), st)
+            return st[:, :, :1]
+        return f
+
+    times = {}
+    for k in (k1, k2):
+        f = make(k)
+        t0 = time.time()
+        o = f(jnp.uint32(1))
+        np.asarray(o)
+        log(f"K={k}: compile+first {time.time()-t0:.0f}s")
+        t0 = time.time()
+        np.asarray(f(jnp.uint32(2)))
+        times[k] = time.time() - t0
+        log(f"K={k}: run {times[k]*1e3:.1f} ms")
+    slope = (times[k2] - times[k1]) / (k2 - k1)
+    rate = batch / slope
+    log(f"{slope*1e3:.2f} ms/permutation-batch -> {rate/1e6:.3f} M perms/s")
+    return rate
 
 
 def bench_insert(depth: int, k: int, iters: int) -> float:
-    import jax
+    jax = _setup_jax()
+    import random
+    import numpy as np
 
     from imt_tpu.tree import indexed
 
@@ -75,7 +109,6 @@ def bench_insert(depth: int, k: int, iters: int) -> float:
     for _ in range(iters):
         ok = tree.insert_batch([rng.randrange(1, 1 << 253) for _ in range(k)])
         total += int(ok.sum())
-    import numpy as np
     np.asarray(tree.levels[-1])
     dt = time.time() - t0
     log(f"{total} inserts in {dt:.3f}s -> {total/dt:,.0f} inserts/s (depth {depth})")
@@ -86,15 +119,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--insert", action="store_true")
+    ap.add_argument("--engine", choices=["mxu", "int", "scan"], default="mxu")
     ap.add_argument("--batch", type=int, default=1 << 15)
-    ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
-    if args.smoke:
-        args.batch, args.iters = 256, 2
-
     if args.insert:
-        depth, k, iters = (6, 8, 2) if args.smoke else (24, 4096, 4)
+        depth, k, iters = (6, 8, 2) if args.smoke else (20, 1024, 4)
         rate = bench_insert(depth, k, iters)
         print(json.dumps({
             "metric": f"batched leaf-inserts/s (depth {depth})",
@@ -103,7 +133,11 @@ def main() -> None:
         }))
         return
 
-    rate = bench_perms(args.batch, args.iters)
+    if args.smoke:
+        args.batch = 2048
+        rate = bench_perms(args.batch, args.engine, k1=2, k2=6)
+    else:
+        rate = bench_perms(args.batch, args.engine)
     print(json.dumps({
         "metric": "Poseidon perms/s/chip",
         "value": round(rate, 1), "unit": "perms/s",
