@@ -1,0 +1,62 @@
+"""Structured logging + throughput counters.
+
+The reference has no observability beyond println! in tests (SURVEY §5).
+This is the production-facing replacement: a std-logging backbone with
+structured key=value lines and a tiny metrics registry (hash/insert
+counters, derived rates) suitable for scraping.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+
+logger = logging.getLogger("imt_tpu")
+
+
+def log_event(event: str, **kv) -> None:
+    if logger.isEnabledFor(logging.INFO):
+        payload = " ".join(f"{k}={v}" for k, v in kv.items())
+        logger.info("%s %s", event, payload)
+
+
+@dataclass
+class Metrics:
+    """Cumulative counters; thread-unsafe by design (per-host engine loop)."""
+
+    hashes: int = 0
+    permutations: int = 0
+    inserts: int = 0
+    inserts_rejected: int = 0
+    _start: float = field(default_factory=time.time)
+
+    def record_hashes(self, n: int) -> None:
+        self.hashes += n
+        self.permutations += 2 * n  # 2 perms per fixed-len hash (SURVEY §3.1)
+
+    def record_inserts(self, accepted: int, rejected: int = 0) -> None:
+        self.inserts += accepted
+        self.inserts_rejected += rejected
+
+    def rates(self) -> dict:
+        dt = max(time.time() - self._start, 1e-9)
+        return {
+            "hashes_per_s": self.hashes / dt,
+            "perms_per_s": self.permutations / dt,
+            "inserts_per_s": self.inserts / dt,
+            "uptime_s": dt,
+        }
+
+    def snapshot(self) -> dict:
+        return {
+            "hashes": self.hashes,
+            "permutations": self.permutations,
+            "inserts": self.inserts,
+            "inserts_rejected": self.inserts_rejected,
+            **self.rates(),
+        }
+
+
+GLOBAL_METRICS = Metrics()

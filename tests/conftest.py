@@ -1,4 +1,4 @@
-"""Test config: force JAX onto a virtual 8-device CPU mesh.
+"""Test config: force JAX onto a virtual 4-device CPU mesh (matching the 4 host cores; more virtual devices than cores thrashes the thread pools).
 
 The session environment preloads jax with JAX_PLATFORMS=axon (a tunnel to one
 real TPU chip) where every XLA compile pays a ~40s RPC; CPU compiles the same
@@ -21,5 +21,5 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=1"
     ).strip()
