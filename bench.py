@@ -51,7 +51,13 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    if engine == "mxu":
+    if engine == "rns":
+        from imt_tpu.ops.poseidon_rns import PoseidonRns
+        eng = PoseidonRns()
+        shape = (48, 3, batch)
+        mask = jnp.uint32(0x7FF)   # lazy (< 2^13) is fine: permute canonicalizes
+        cast = lambda x: x.astype(jnp.float32)
+    elif engine == "mxu":
         from imt_tpu.ops import field_f32 as ff
         from imt_tpu.ops.poseidon_mxu import PoseidonMXU
         eng = PoseidonMXU()
@@ -119,7 +125,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--insert", action="store_true")
-    ap.add_argument("--engine", choices=["mxu", "int", "scan"], default="mxu")
+    ap.add_argument("--engine", choices=["rns", "mxu", "int", "scan"],
+                    default="rns")
     ap.add_argument("--batch", type=int, default=1 << 15)
     args = ap.parse_args()
 

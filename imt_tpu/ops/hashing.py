@@ -1,0 +1,59 @@
+"""Poseidon backend dispatch — one hash2/hash3 surface, multiple engines.
+
+All tree/parallel code calls through this module; the engine is resolved at
+trace time, so the choice is baked into each jitted program when it first
+compiles.  Pick explicitly with set_backend()/IMT_HASH_ENGINE, or let the
+platform decide:
+
+* ``rns``  — f32 residue arithmetic + MXU base-extension dots
+             (poseidon_rns.py).  Fastest on TPU by ~8x; bit-exact.
+* ``cios`` — uint32 16-bit-limb CIOS Montgomery (poseidon_jax.py).  Small
+             compile, fast on CPU; the engine all parity tests anchor on.
+
+Default: ``rns`` on TPU-like platforms (tpu/axon), ``cios`` elsewhere.
+
+Switch BEFORE building trees: jitted tree steps cache the engine they were
+traced with (functools.lru_cache on the step builders).
+"""
+
+from __future__ import annotations
+
+import os
+
+_backend: str | None = None      # explicit override; None = auto
+
+
+def set_backend(name: str | None) -> None:
+    """Force a backend ("rns" | "cios") or None to restore auto-detect."""
+    global _backend
+    if name not in (None, "rns", "cios"):
+        raise ValueError(f"unknown hash backend: {name!r}")
+    _backend = name
+
+
+def backend() -> str:
+    if _backend is not None:
+        return _backend
+    env = os.environ.get("IMT_HASH_ENGINE")
+    if env in ("rns", "cios"):
+        return env
+    import jax
+    return "rns" if jax.devices()[0].platform in ("tpu", "axon") else "cios"
+
+
+def _mod():
+    if backend() == "rns":
+        from . import poseidon_rns as m
+    else:
+        from . import poseidon_jax as m
+    return m
+
+
+def hash2(a, b):
+    """Batched 2-to-1 Poseidon hash, canonical limbs uint32[16, B]."""
+    return _mod().hash2(a, b)
+
+
+def hash3(a, b, c):
+    """Batched 3-to-1 Poseidon hash (indexed leaf), canonical limbs."""
+    return _mod().hash3(a, b, c)

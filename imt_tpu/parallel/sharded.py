@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import field
-from ..ops import poseidon_jax
+from ..ops import hashing as poseidon_jax
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -97,14 +97,14 @@ def sharded_root(leaves, mesh: Mesh):
 def sharded_hash2(a, b, mesh: Mesh):
     """Data-parallel batched 2-to-1 hash over the mesh (batch sharded)."""
     sh = NamedSharding(mesh, P(None, "shard"))
-    f = jax.jit(poseidon_jax.default_engine().hash2,
+    f = jax.jit(poseidon_jax.hash2,
                 in_shardings=(sh, sh), out_shardings=sh)
     return f(jax.device_put(a, sh), jax.device_put(b, sh))
 
 
 def sharded_hash3(a, b, c, mesh: Mesh):
     sh = NamedSharding(mesh, P(None, "shard"))
-    f = jax.jit(poseidon_jax.default_engine().hash3,
+    f = jax.jit(poseidon_jax.hash3,
                 in_shardings=(sh, sh, sh), out_shardings=sh)
     return f(jax.device_put(a, sh), jax.device_put(b, sh),
              jax.device_put(c, sh))

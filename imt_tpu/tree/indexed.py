@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import field
-from ..ops import poseidon_jax
+from ..ops import hashing as poseidon_jax
 from .merkle import MerkleTree, compute_root_from_helpers
 
 # H(0,0,0): the empty-slot leaf hash, hard-coded by the reference chip

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import field
-from ..ops import poseidon_jax
+from ..ops import hashing as poseidon_jax
 
 
 @lru_cache(maxsize=None)

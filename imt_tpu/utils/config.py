@@ -24,9 +24,10 @@ class PoseidonConfig:
 class EngineConfig:
     poseidon: PoseidonConfig = dfield(default_factory=PoseidonConfig)
     tree_depth: int = 32
-    # "mxu" (f32 digits + matmul reductions), "int" (uint32 CIOS, unrolled),
-    # "scan" (uint32 CIOS, scanned — smallest compile)
-    hash_engine: str = "mxu"
+    # "rns" (f32 residue channels + MXU base-extension dots — fastest on
+    # TPU), "cios" (uint32 16-bit-limb CIOS — CPU/test default); see
+    # ops/hashing.py for the dispatch (default: auto by platform)
+    hash_engine: str = "auto"
     batch_size: int = 4096
     mesh_axis: str = "shard"
     mesh_devices: int | None = None  # None = all visible devices
