@@ -51,7 +51,45 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    if engine == "rns":
+    if engine.startswith("pallas"):
+        import os
+        from imt_tpu.ops import poseidon_rns_pallas as pk
+        tile = int(os.environ.get("IMT_PALLAS_TILE", pk.DEFAULT_TILE))
+
+        class _Eng:
+            def permute(self, s):
+                return pk.permute_n(s, 1, t_tile=tile)
+        eng = _Eng()
+        shape = (144, batch)
+        mask = jnp.uint32(0x7FF)
+        cast = lambda x: x.astype(jnp.float32)
+        if engine == "pallas-chain":
+            # chain all K permutations inside ONE kernel (state VMEM-resident)
+            class _EngChain:
+                pass
+            def make_chain(k):
+                @jax.jit
+                def f(seed):
+                    base = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) ^ seed
+                    st = cast(base & mask)
+                    st = pk.permute_n(st, k)
+                    return st[:, :1]
+                return f
+            times = {}
+            for k in (k1, k2):
+                f = make_chain(k)
+                t0 = time.time()
+                np.asarray(f(jnp.uint32(1)))
+                log(f"K={k}: compile+first {time.time()-t0:.0f}s")
+                t0 = time.time()
+                np.asarray(f(jnp.uint32(2)))
+                times[k] = time.time() - t0
+                log(f"K={k}: run {times[k]*1e3:.1f} ms")
+            slope = (times[k2] - times[k1]) / (k2 - k1)
+            rate = batch / slope
+            log(f"{slope*1e3:.2f} ms/permutation-batch -> {rate/1e6:.3f} M perms/s")
+            return rate
+    elif engine == "rns":
         from imt_tpu.ops.poseidon_rns import PoseidonRns
         eng = PoseidonRns()
         shape = (48, 3, batch)
@@ -74,10 +112,11 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
     def make(k):
         @jax.jit
         def f(seed):
-            base = jax.lax.broadcasted_iota(jnp.uint32, shape, 2) ^ seed
+            base = jax.lax.broadcasted_iota(
+                jnp.uint32, shape, len(shape) - 1) ^ seed
             st = cast(base & mask)
             st = jax.lax.fori_loop(0, k, lambda i, s: eng.permute(s), st)
-            return st[:, :, :1]
+            return st[..., :1]
         return f
 
     times = {}
@@ -121,14 +160,120 @@ def bench_insert(depth: int, k: int, iters: int) -> float:
     return total / dt
 
 
+def bench_non_inclusion(depth: int, n_leaves: int, k: int,
+                        iters: int) -> float:
+    """BASELINE config 2: non-membership witness + verify throughput."""
+    jax = _setup_jax()
+    import random
+    import numpy as np
+    from imt_tpu.tree import indexed
+
+    tree = indexed.IndexedMerkleTree(depth)
+    rng = random.Random(0xBEEF)
+    tree.insert_batch([rng.randrange(1, 1 << 253)
+                       for _ in range(n_leaves - 2)])
+
+    from imt_tpu.ops import field
+
+    def round_trip():
+        qs = [rng.randrange(1, 1 << 253) for _ in range(k)]
+        w = tree.non_inclusion_witness(qs)
+        qlimbs = jax.numpy.asarray(field.ints_to_limbs(qs))
+        ok = indexed.verify_non_inclusion(
+            w.root, w.low_leaf_val, w.low_leaf_next_val, w.low_leaf_next_idx,
+            w.low_leaf_proof, w.low_leaf_proof_helper, qlimbs,
+            w.is_new_leaf_largest)
+        return int(np.asarray(ok).sum())
+
+    t0 = time.time()
+    round_trip()
+    log(f"compile+first: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    total = sum(round_trip() for _ in range(iters))
+    dt = time.time() - t0
+    log(f"{total} verified non-memberships in {dt:.3f}s")
+    return iters * k / dt
+
+
+def bench_single_insert(depth: int, iters: int) -> float:
+    """BASELINE config 3: sequential witness inserts/s, depth-16 tree."""
+    _setup_jax()
+    import random
+    import numpy as np
+    from imt_tpu.tree.sparse import SparseIndexedMerkleTree
+
+    tree = SparseIndexedMerkleTree(depth, initial_capacity_log2=12)
+    rng = random.Random(0xF00D)
+    t0 = time.time()
+    tree.insert(rng.randrange(1, 1 << 253))
+    log(f"compile+first: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        w = tree.insert(rng.randrange(1, 1 << 253))
+    np.asarray(w.new_root)
+    dt = time.time() - t0
+    log(f"{iters} witness inserts in {dt:.3f}s (depth {depth})")
+    return iters / dt
+
+
+def bench_batch_insert_sparse(depth: int, k: int, iters: int) -> float:
+    """BASELINE configs 4/5: batched inserts/s into a sparse-prefix tree."""
+    _setup_jax()
+    import random
+    import numpy as np
+    from imt_tpu.tree.sparse import SparseIndexedMerkleTree
+
+    cap = max(14, (k * (iters + 1) + 2).bit_length())
+    tree = SparseIndexedMerkleTree(depth, initial_capacity_log2=cap)
+    rng = random.Random(0xCAFE)
+    t0 = time.time()
+    ok = tree.insert_batch([rng.randrange(1, 1 << 253) for _ in range(k)])
+    log(f"compile+first batch: {time.time()-t0:.1f}s "
+        f"(accepted {ok.sum()}/{k})")
+    t0 = time.time()
+    total = 0
+    for _ in range(iters):
+        ok = tree.insert_batch(
+            [rng.randrange(1, 1 << 253) for _ in range(k)])
+        total += int(ok.sum())
+    np.asarray(tree.levels[-1])
+    dt = time.time() - t0
+    log(f"{total} inserts in {dt:.3f}s -> {total/dt:,.0f} inserts/s "
+        f"(depth {depth}, batch {k})")
+    return total / dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--insert", action="store_true")
-    ap.add_argument("--engine", choices=["rns", "mxu", "int", "scan"],
-                    default="rns")
+    ap.add_argument("--config", type=int, choices=[2, 3, 4, 5],
+                    help="BASELINE.md benchmark config")
+    ap.add_argument("--engine",
+                    choices=["rns", "pallas", "pallas-chain", "mxu", "int",
+                             "scan"],
+                    default="pallas")
     ap.add_argument("--batch", type=int, default=1 << 15)
     args = ap.parse_args()
+
+    if args.config:
+        if args.config == 2:
+            rate = bench_non_inclusion(8, 256, 1024, 2 if args.smoke else 8)
+            metric, unit = "non-membership verifies/s (depth 8)", "verifies/s"
+        elif args.config == 3:
+            rate = bench_single_insert(16, 4 if args.smoke else 64)
+            metric, unit = "sequential witness inserts/s (depth 16)", "inserts/s"
+        elif args.config == 4:
+            rate = bench_batch_insert_sparse(24, 4096, 2 if args.smoke else 8)
+            metric, unit = "batched inserts/s (depth 24, batch 4096)", "inserts/s"
+        else:
+            k, iters = (4096, 2) if args.smoke else (65536, 15)
+            rate = bench_batch_insert_sparse(32, k, iters)
+            metric, unit = (f"batched inserts/s (depth 32, batch {k}, ~1M total)",
+                            "inserts/s")
+        print(json.dumps({"metric": metric, "value": round(rate, 1),
+                          "unit": unit, "vs_baseline": None}))
+        return
 
     if args.insert:
         depth, k, iters = (6, 8, 2) if args.smoke else (20, 1024, 4)

@@ -5,12 +5,17 @@ trace time, so the choice is baked into each jitted program when it first
 compiles.  Pick explicitly with set_backend()/IMT_HASH_ENGINE, or let the
 platform decide:
 
+* ``pallas`` — fused Mosaic kernel for the RNS permutation
+             (poseidon_rns_pallas.py): ~4x the XLA RNS path on a v5e chip.
+             Falls back to ``rns`` for small batches (below
+             PALLAS_MIN_BATCH): each distinct batch size costs a ~10 min
+             one-time Mosaic compile, worth paying only on wide levels.
 * ``rns``  — f32 residue arithmetic + MXU base-extension dots
-             (poseidon_rns.py).  Fastest on TPU by ~8x; bit-exact.
+             (poseidon_rns.py).  ~8x the CIOS path on TPU; bit-exact.
 * ``cios`` — uint32 16-bit-limb CIOS Montgomery (poseidon_jax.py).  Small
              compile, fast on CPU; the engine all parity tests anchor on.
 
-Default: ``rns`` on TPU-like platforms (tpu/axon), ``cios`` elsewhere.
+Default: ``pallas`` on TPU-like platforms (tpu/axon), ``cios`` elsewhere.
 
 Switch BEFORE building trees: jitted tree steps cache the engine they were
 traced with (functools.lru_cache on the step builders).
@@ -22,11 +27,15 @@ import os
 
 _backend: str | None = None      # explicit override; None = auto
 
+# Below this batch width the pallas backend delegates to the XLA rns path
+# (dispatch is at trace time on static shapes, so the choice is per-site).
+PALLAS_MIN_BATCH = 2048
+
 
 def set_backend(name: str | None) -> None:
-    """Force a backend ("rns" | "cios") or None to restore auto-detect."""
+    """Force a backend ("pallas" | "rns" | "cios") or None = auto-detect."""
     global _backend
-    if name not in (None, "rns", "cios"):
+    if name not in (None, "pallas", "rns", "cios"):
         raise ValueError(f"unknown hash backend: {name!r}")
     _backend = name
 
@@ -35,14 +44,20 @@ def backend() -> str:
     if _backend is not None:
         return _backend
     env = os.environ.get("IMT_HASH_ENGINE")
-    if env in ("rns", "cios"):
+    if env in ("pallas", "rns", "cios"):
         return env
     import jax
-    return "rns" if jax.devices()[0].platform in ("tpu", "axon") else "cios"
+    return "pallas" if jax.devices()[0].platform in ("tpu", "axon") \
+        else "cios"
 
 
-def _mod():
-    if backend() == "rns":
+def _mod(batch: int):
+    name = backend()
+    if name == "pallas" and batch < PALLAS_MIN_BATCH:
+        name = "rns"
+    if name == "pallas":
+        from . import poseidon_rns_pallas as m
+    elif name == "rns":
         from . import poseidon_rns as m
     else:
         from . import poseidon_jax as m
@@ -51,9 +66,9 @@ def _mod():
 
 def hash2(a, b):
     """Batched 2-to-1 Poseidon hash, canonical limbs uint32[16, B]."""
-    return _mod().hash2(a, b)
+    return _mod(a.shape[-1]).hash2(a, b)
 
 
 def hash3(a, b, c):
     """Batched 3-to-1 Poseidon hash (indexed leaf), canonical limbs."""
-    return _mod().hash3(a, b, c)
+    return _mod(a.shape[-1]).hash3(a, b, c)

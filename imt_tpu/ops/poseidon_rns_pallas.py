@@ -1,0 +1,334 @@
+"""Fused Pallas kernel for the RNS Poseidon permutation.
+
+The XLA path (poseidon_rns.py) materializes intermediates around every base-
+extension dot; this kernel keeps the whole state and every temporary in VMEM
+across all 65 rounds — one HBM read and one write per permutation.
+
+Layout inside the kernel: each state word is f32[48 channels, T lanes]
+(channel axis on sublanes = 6 VPU rows, batch tile on lanes).  The three
+words concatenate to [48, 3T] for the MDS reduction so its two extension
+dots run once per round at full width.  Constants (round constants, MDS
+residues, extension lhs matrices, per-channel q/invq/fold columns) load once
+per grid step and live in VMEM.
+
+Exactness is inherited op-for-op from field_rns.py (same proven floor-mod,
+same bf16 digit-split dots, same Kawamura alpha rows) — the kernel is a
+scheduling change only, validated bit-exact against the XLA path and the
+python oracle in tests.
+
+Reference parity anchor: H(0,0,0), reference src/indexed_merkle_tree.rs:247-251.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .field import P
+from .field_rns import RnsDeviceConsts, default_consts
+from . import field_rns
+from .poseidon_rns import _constants
+
+N_CH = 48          # 2n residue channels
+DEFAULT_TILE = 1024
+
+
+# ---------------------------------------------------------------------------
+# Host constant packing
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _packed():
+    """All kernel constants as device-ready numpy arrays."""
+    c = default_consts()
+    rc, mds, iv0, one, r_f, r_p = _constants()
+    # ALL constant tables are channel-major 2D [48, k]: every in-kernel
+    # extraction is then a lane RANGE slice -> [48, w] (int indexing of
+    # loaded arrays lowers to >2D gathers Mosaic rejects).
+    # rc: [rounds, 2n, t, 1] -> [2n, rounds*128]: round r's words live at
+    # lanes 128r..128r+2 (Mosaic dynamic lane slices must be 128-aligned)
+    n_rounds = rc.shape[0]
+    rc_k = np.zeros((N_CH, n_rounds * 128), np.float32)
+    for r in range(n_rounds):
+        for j in range(3):
+            rc_k[:, 128 * r + j] = rc[r, :, j, 0]
+    # mds: [2n, t, t, 1] -> [2n, t*t] (column 3i+j = M[i][j])
+    mds_k = np.ascontiguousarray(
+        mds[..., 0].transpose(1, 2, 0)).reshape(-1, N_CH).T
+    cols = np.zeros((N_CH, 12), np.float32)   # per-channel constant columns
+    n = c.n
+    cols[:, 0] = c.q_all[:, 0]
+    cols[:, 1] = c.invq_all[:, 0]
+    cols[:n, 2] = c.k1[:, 0]
+    cols[:n, 3] = c.c1[:, 0]       # (B2 constants stored in rows 0..n-1)
+    cols[:n, 4] = c.c2[:, 0]
+    cols[:n, 5] = c.e2[:, 0]
+    cols[:n, 6] = c.c16_b2[:, 0]
+    cols[:n, 7] = c.neg_m1[:, 0]
+    cols[:n, 8] = c.c16_b1[:, 0]
+    cols[:n, 9] = c.neg_m2[:, 0]
+    cols[:, 10] = iv0
+    cols[:, 11] = one
+    return (rc_k.astype(np.float32), mds_k.astype(np.float32),
+            c.ext1_lhs.astype(np.float32), c.ext2_lhs.astype(np.float32),
+            cols, r_f, r_p)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel ops (arrays, not refs; all shapes [48 or 24, X])
+# ---------------------------------------------------------------------------
+
+def _mod(x, q, invq):
+    return x - q * jnp.floor(x * invq)
+
+
+def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp):
+    """Kawamura base extension, [24, X] -> [24, X] (see field_rns._extend)."""
+    s1 = jnp.floor(sig * (1.0 / 256.0))
+    s0 = sig - 256.0 * s1
+    rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.bfloat16)
+    out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    n = (out.shape[0] - 1) // 3
+    est = out[3 * n:3 * n + 1]                 # [1, X] (range slice, no gather)
+    alpha = jnp.floor(est + delta)
+    if clamp:
+        alpha = jnp.maximum(alpha, 0.0)
+    m1b = _mod(out[n:2 * n], q, invq)
+    total = (out[:n] * c16 + m1b * 256.0 + out[2 * n:3 * n]
+             + alpha * neg_m)
+    return _mod(total, q, invq)
+
+
+def _make_redc(lhs1, lhs2, cols):
+    """Bind constants; cols: [48, 12] channel-major column table.
+    Returns redc(w [48, X], rc [48, X or 1] | None)."""
+    n = N_CH // 2
+    q_all, invq_all = cols[:, 0:1], cols[:, 1:2]
+    q1, invq1 = q_all[:n], invq_all[:n]
+    q2, invq2 = q_all[n:], invq_all[n:]
+    k1 = cols[:n, 2:3]
+    c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
+    c16_b2, neg_m1 = cols[:n, 6:7], cols[:n, 7:8]
+    c16_b1, neg_m2 = cols[:n, 8:9], cols[:n, 9:10]
+    lhs1_b = lhs1.astype(jnp.bfloat16)
+    lhs2_b = lhs2.astype(jnp.bfloat16)
+
+    def redc(w, rc=None):
+        wq = _mod(w, q_all, invq_all)
+        w1, w2 = wq[:n], wq[n:]
+        sig = _mod(w1 * k1, q1, invq1)
+        s_ext = _extend(sig, lhs1_b, c16_b2, q2, invq2, neg_m1,
+                        -0.25, clamp=True)
+        tau = _mod(w2 * c1 + s_ext * c2, q2, invq2)
+        z2_raw = tau * e2
+        z1 = _extend(tau, lhs2_b, c16_b1, q1, invq1, neg_m2,
+                     0.5, clamp=False)
+        if rc is not None:
+            z1 = _mod(z1 + rc[:n], q1, invq1)
+            z2_raw = z2_raw + rc[n:]
+        z2 = _mod(z2_raw, q2, invq2)
+        return jnp.concatenate([z1, z2], axis=0)
+
+    return redc, (q_all, invq_all)
+
+
+def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
+    """One permutation on a list of three [48, T] words (VMEM values).
+    mds: [3][3] list of [48, 1] residue columns."""
+    half = r_f // 2
+    n_rounds = r_f + r_p
+
+    def rc_row(r):
+        # rc_ref: [48, rounds*128], word j of round r at lane 128r+j
+        return [rc_ref[:, 128 * r + j:128 * r + j + 1] for j in range(3)]
+
+    def rc_cat(r):
+        return jnp.concatenate(
+            [jnp.broadcast_to(rc_ref[:, 128 * r + j:128 * r + j + 1],
+                              (N_CH, t_tile)) for j in range(3)], axis=1)
+
+    rc0 = rc_row(0)
+    words = [canon(w + rc0[j]) for j, w in enumerate(words)]
+
+    def sbox_cat(cat):
+        x2 = redc(cat * cat)
+        x4 = redc(x2 * x2)
+        return redc(x4 * cat)
+
+    def mds_redc(cat, rc_c):
+        ws = [cat[:, j * t_tile:(j + 1) * t_tile] for j in range(3)]
+        rows = []
+        for i in range(3):
+            acc = mds[i][0] * ws[0] + mds[i][1] * ws[1] + mds[i][2] * ws[2]
+            rows.append(acc)
+        return redc(jnp.concatenate(rows, axis=1), rc_c)
+
+    cat = jnp.concatenate(words, axis=1)      # [48, 3T]
+
+    # 4 leading full rounds (unrolled; static rc indices)
+    for r in range(1, half + 1):
+        cat = mds_redc(sbox_cat(cat), rc_cat(r))
+
+    # 57 partial rounds under fori_loop (dynamic rc index)
+    def partial_body(ri, cat):
+        r = half + 1 + ri
+        x0 = cat[:, :t_tile]
+        x2 = redc(x0 * x0)
+        x4 = redc(x2 * x2)
+        x5 = redc(x4 * x0)
+        cat = jnp.concatenate([x5, cat[:, t_tile:]], axis=1)
+        blk = rc_ref[:, pl.ds(pl.multiple_of(128 * r, 128), 128)]
+        rc_c = jnp.concatenate(
+            [jnp.broadcast_to(blk[:, j:j + 1], (N_CH, t_tile))
+             for j in range(3)], axis=1)
+        return mds_redc(cat, rc_c)
+
+    cat = jax.lax.fori_loop(0, r_p, partial_body, cat)
+
+    # 4 trailing full rounds; the last has no ARC
+    for k in range(half):
+        r = half + 1 + r_p + k
+        rc_c = rc_cat(r) if r < n_rounds else jnp.zeros(
+            (N_CH, 3 * t_tile), jnp.float32)
+        cat = mds_redc(sbox_cat(cat), rc_c)
+
+    return [cat[:, j * t_tile:(j + 1) * t_tile] for j in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _make_kernel(n_perms: int, t_tile: int, mode: str):
+    """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
+    rc_np, mds_np, lhs1_np, lhs2_np, cols_np, r_f, r_p = _packed()
+
+    def kernel(rc_ref, mds_ref, lhs1_ref, lhs2_ref, cols_ref, *io):
+        cols = cols_ref[:]
+        lhs1, lhs2 = lhs1_ref[:], lhs2_ref[:]
+        redc, (q_all, invq_all) = _make_redc(lhs1, lhs2, cols)
+        canon = lambda x: _mod(x, q_all, invq_all)
+        mds_arr = mds_ref[:]                  # [48, 9]
+        mds = [[mds_arr[:, 3 * i + j:3 * i + j + 1] for j in range(3)]
+               for i in range(3)]
+        run = partial(_permutation, redc=redc, canon=canon, rc_ref=rc_ref,
+                      mds=mds, r_f=r_f, r_p=r_p, t_tile=t_tile)
+
+        if mode == "perm":
+            st_ref, out_ref = io
+            # state io is 2D [3*48, T]: word j = rows 48j..48j+47 (Mosaic
+            # lowers leading-index reads of 3D refs to unsupported gathers)
+            words = [st_ref[48 * j:48 * (j + 1)] for j in range(3)]
+            for _ in range(n_perms):
+                words = run(words)
+            for j in range(3):
+                out_ref[48 * j:48 * (j + 1)] = words[j]
+        else:
+            iv0 = cols[:, 10:11]
+            one = cols[:, 11:12]
+            if mode == "hash2":
+                a_ref, b_ref, out_ref = io
+                words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
+                         a_ref[:], b_ref[:]]
+                words = run(words)
+                words = [words[0], words[1] + one, words[2]]
+                words = run(words)
+            else:
+                a_ref, b_ref, c_ref, out_ref = io
+                words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
+                         a_ref[:], b_ref[:]]
+                words = run(words)
+                words = [words[0], words[1] + c_ref[:], words[2] + one]
+                words = run(words)
+            out_ref[:] = words[1]
+
+    return kernel, (rc_np, mds_np, lhs1_np, lhs2_np, cols_np)
+
+
+def _const_specs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)]
+
+
+@lru_cache(maxsize=None)
+def _permute_fn(n_perms: int, t_tile: int, interpret: bool):
+    kernel, consts = _make_kernel(n_perms, t_tile, "perm")
+
+    @jax.jit
+    def f(st):
+        # st: f32[3*48, B] (word j = rows 48j..48j+47)
+        b = st.shape[-1]
+        grid = (b // t_tile,)
+        spec = pl.BlockSpec((3 * N_CH, t_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=_const_specs() + [spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(st.shape, jnp.float32),
+            interpret=interpret,
+        )(*[jnp.asarray(c) for c in consts], st)
+
+    return f
+
+
+def permute_n(st, n_perms: int = 1, t_tile: int = DEFAULT_TILE,
+              interpret: bool = False):
+    """n_perms chained permutations on f32[3*48, B] (B % t_tile == 0;
+    word j occupies rows 48j..48j+47)."""
+    return _permute_fn(n_perms, t_tile, interpret)(st)
+
+
+@lru_cache(maxsize=None)
+def _hash_fn(mode: str, t_tile: int, interpret: bool):
+    kernel, consts = _make_kernel(1, t_tile, mode)
+    n_in = 2 if mode == "hash2" else 3
+
+    @jax.jit
+    def f(*args):
+        b = args[0].shape[-1]
+        grid = (b // t_tile,)
+        io_spec = pl.BlockSpec((N_CH, t_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=_const_specs() + [io_spec] * n_in,
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((N_CH, b), jnp.float32),
+            interpret=interpret,
+        )(*[jnp.asarray(c) for c in consts], *args)
+
+    return f
+
+
+def _pad(x, t_tile):
+    b = x.shape[-1]
+    pad = (-b) % t_tile
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+    return x, b
+
+
+def hash2(a, b, t_tile: int = DEFAULT_TILE, interpret: bool = False):
+    """Canonical limbs uint32[16, B] x2 -> uint32[16, B] (Merkle node)."""
+    ra, nb = _pad(field_rns.from_limbs(a), t_tile)
+    rb, _ = _pad(field_rns.from_limbs(b), t_tile)
+    out = _hash_fn("hash2", t_tile, interpret)(ra, rb)
+    return field_rns.to_limbs(out[:, :nb])
+
+
+def hash3(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False):
+    """Canonical limbs uint32[16, B] x3 -> uint32[16, B] (indexed leaf)."""
+    ra, nb = _pad(field_rns.from_limbs(a), t_tile)
+    rb, _ = _pad(field_rns.from_limbs(b), t_tile)
+    rc, _ = _pad(field_rns.from_limbs(c), t_tile)
+    out = _hash_fn("hash3", t_tile, interpret)(ra, rb, rc)
+    return field_rns.to_limbs(out[:, :nb])

@@ -72,6 +72,21 @@ class InsertWitness:
     is_new_leaf_largest: jnp.ndarray    # bool[K]
 
 
+@dataclass
+class NonInclusionWitness:
+    """Witness bundle for verify_non_inclusion (K query lanes): everything
+    the reference's standalone chip entry needs (src/indexed_merkle_tree.rs:127)."""
+
+    ok: np.ndarray                      # bool[K] (low leaf found)
+    root: jnp.ndarray                   # [16, K]
+    low_leaf_val: jnp.ndarray           # [16, K]
+    low_leaf_next_val: jnp.ndarray      # [16, K]
+    low_leaf_next_idx: jnp.ndarray      # [16, K]
+    low_leaf_proof: jnp.ndarray         # [depth, 16, K]
+    low_leaf_proof_helper: jnp.ndarray  # [depth, K]
+    is_new_leaf_largest: jnp.ndarray    # bool[K]
+
+
 def index_to_limbs(idx):
     """int32[...] -> [16, ...] canonical limbs (indices < 2^31)."""
     lo = (idx & field.MASK).astype(jnp.uint32)
@@ -113,12 +128,66 @@ def _update_paths(levels, dirty_idx, dirty_leaves, depth: int):
 
 
 # ---------------------------------------------------------------------------
+# Zero-subtree spine (sparse-prefix support)
+#
+# A depth-`full_depth` tree whose occupied slots all sit in the leftmost
+# 2^depth leaves is represented by the dense active prefix alone; every
+# ancestor above the prefix root is H(node, zero_subtree[level]) and every
+# proof sibling above it is the zero-subtree hash of its level (helper = 1:
+# the path hugs the left spine).  This unlocks depth-32 trees (a dense
+# level-0 array would be 2^32 leaves) at the reference's exact semantics.
+# ---------------------------------------------------------------------------
+
+def _zero_sib_cols(depth: int, full_depth: int) -> np.ndarray:
+    """uint32[full_depth - depth, 16, 1]: zero-subtree hash per level."""
+    roots = _zero_level_roots(full_depth)
+    return np.stack([field.int_to_limbs(roots[d]) for d in
+                     range(depth, full_depth)])[:, :, None]
+
+
+def _spine_fold(root_col, depth: int, full_depth: int):
+    """Active-prefix root [16, 1] -> full-depth root [16, 1] (traced).
+
+    lax.scan over the zero-sibling columns: ONE compiled hash2 body instead
+    of full_depth - depth inlined permutation graphs."""
+    if full_depth == depth:
+        return root_col
+    sibs = jnp.asarray(_zero_sib_cols(depth, full_depth))   # [ext, 16, 1]
+
+    def body(r, sib):
+        return poseidon_jax.hash2(r, sib), None
+
+    root_col, _ = jax.lax.scan(body, root_col, sibs)
+    return root_col
+
+
+def _extend_proof(proof, helpers, depth: int, full_depth: int):
+    """Append the zero-spine siblings/helpers to an active-depth proof."""
+    ext = full_depth - depth
+    k = proof.shape[-1]
+    sibs = jnp.broadcast_to(jnp.asarray(_zero_sib_cols(depth, full_depth)),
+                            (ext, field.LIMBS, k))
+    ones = jnp.ones((ext, k), dtype=helpers.dtype)
+    return (jnp.concatenate([proof, sibs]),
+            jnp.concatenate([helpers, ones]))
+
+
+@lru_cache(maxsize=None)
+def _root_fold_fn(depth: int, full_depth: int):
+    @jax.jit
+    def f(root_col):
+        return _spine_fold(root_col, depth, full_depth)
+    return f
+
+
+# ---------------------------------------------------------------------------
 # Sequential insert step (witness path)
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _insert_step_fn(depth: int):
+def _insert_step_fn(depth: int, full_depth: int | None = None):
     n = 1 << depth
+    fd = full_depth or depth
 
     @jax.jit
     def step(vals, nvs, nis, levels, new_val, count):
@@ -167,6 +236,14 @@ def _insert_step_fn(depth: int):
         # --- new-leaf proof against the UPDATED tree (reference :734) --------
         new_proof, new_helpers = _gather_proof(new_levels, s, depth)
         new_root = new_levels[-1]
+        old_root, new_root = (levels[-1], new_root) if fd == depth else (
+            _spine_fold(levels[-1], depth, fd),
+            _spine_fold(new_root, depth, fd))
+        if fd != depth:
+            low_proof, low_helpers = _extend_proof(
+                low_proof, low_helpers, depth, fd)
+            new_proof, new_helpers = _extend_proof(
+                new_proof, new_helpers, depth, fd)
 
         vals_out = jnp.where(ok, vals2, vals)
         nvs_out = jnp.where(ok, nvs2, nvs)
@@ -192,6 +269,62 @@ def _insert_step_fn(depth: int):
 
 
 # ---------------------------------------------------------------------------
+# Batched non-inclusion witness (the prover side of verify_non_inclusion —
+# the reference computes these witnesses with its native tree + host planner,
+# src/indexed_merkle_tree.rs:714-722; here it is one vectorized device step)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int):
+    n = 1 << depth
+
+    @jax.jit
+    def f(vals, nvs, nis, levels, queries):
+        # queries: [16, K] canonical values.  For each query find the low
+        # leaf: slot 0 sentinel or occupied slot with val < q < next_val
+        # (or next_val == 0).  [N, K] mask; absent -> ok=False lanes.
+        va = vals[:, :, None]                       # [16, N, 1]
+        qa = queries[:, None, :]                    # [16, 1, K]
+        nva = nvs[:, :, None]
+        occupied = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), ~field.is_zero(vals)[1:]])
+        mask = (occupied[:, None]
+                & field.less_than(jnp.broadcast_to(va, (field.LIMBS, n, k)),
+                                  jnp.broadcast_to(qa, (field.LIMBS, n, k)))
+                & (field.less_than(
+                    jnp.broadcast_to(qa, (field.LIMBS, n, k)),
+                    jnp.broadcast_to(nva, (field.LIMBS, n, k)))
+                   | field.is_zero(nvs)[:, None]))  # [N, K]
+        ok = jnp.any(mask, axis=0)
+        low_idx = jnp.argmax(mask, axis=0).astype(jnp.int32)    # [K]
+
+        low_val = jnp.take(vals, low_idx, axis=1)
+        low_nv = jnp.take(nvs, low_idx, axis=1)
+        low_ni = jnp.take(nis, low_idx, axis=1)
+
+        # sibling path per query (vectorized gather per level)
+        proof, helpers = [], []
+        cur = low_idx
+        for d in range(depth):
+            proof.append(jnp.take(levels[d], cur ^ 1, axis=1))
+            helpers.append((cur % 2 == 0).astype(jnp.int32))
+            cur = cur >> 1
+        proof = jnp.stack(proof)                    # [depth, 16, K]
+        helpers = jnp.stack(helpers)                # [depth, K]
+        root = jnp.broadcast_to(levels[-1], (field.LIMBS, k))
+        if full_depth != depth:
+            proof, helpers = _extend_proof(proof, helpers, depth, full_depth)
+            root = jnp.broadcast_to(
+                _spine_fold(levels[-1], depth, full_depth), (field.LIMBS, k))
+        return dict(ok=ok, root=root, low_leaf_val=low_val,
+                    low_leaf_next_val=low_nv, low_leaf_next_idx=low_ni,
+                    low_leaf_proof=proof, low_leaf_proof_helper=helpers,
+                    is_new_leaf_largest=field.is_zero(low_nv))
+
+    return f
+
+
+# ---------------------------------------------------------------------------
 # Batched insert (compute path, sort-based chain resolution)
 # ---------------------------------------------------------------------------
 
@@ -212,13 +345,21 @@ def _insert_batch_fn(depth: int, k: int):
         is_new = jnp.concatenate(
             [jnp.zeros(n, dtype=bool), jnp.ones(k, dtype=bool)])
 
-        # Ascending sort by (value, slot).  jnp.lexsort: LAST key is primary,
-        # so keys are (slot, limb0..limb15) -> primary limb15 (most
-        # significant), ties broken by lower limbs, then slot.  The slot
-        # tie-break encodes sequential acceptance priority: existing slots
-        # numerically precede new slots, and new slots follow batch order.
-        keys = (all_slots,) + tuple(all_vals[i] for i in range(field.LIMBS))
-        order = jnp.lexsort(keys)
+        # Ascending sort by (value, slot).  ONE lax.sort call with 9 keys:
+        # 8 uint32 keys packing two 16-bit limbs each (most-significant
+        # first), then the slot as tie-break — vs 17 stable lexsort passes.
+        # The slot tie-break encodes sequential acceptance priority:
+        # existing slots numerically precede new slots, and new slots
+        # follow batch order.  The iota payload comes back as the sort
+        # permutation.
+        packed = tuple(
+            (all_vals[2 * j + 1] << 16) | all_vals[2 * j]
+            for j in range(field.LIMBS // 2 - 1, -1, -1))
+        sorted_ops = jax.lax.sort(
+            packed + (all_slots.astype(jnp.uint32),
+                      jnp.arange(m, dtype=jnp.int32)),
+            num_keys=9)
+        order = sorted_ops[-1]
         sv = jnp.take(all_vals, order, axis=1)                     # sorted values
         ss = jnp.take(all_slots, order)                            # sorted slots
         snew = jnp.take(is_new, order)
@@ -259,7 +400,9 @@ def _insert_batch_fn(depth: int, k: int):
         # 0..n-1 in order, so the existing part needs no scatter at all; the
         # k new entries then overwrite their (previously empty) slots — two
         # sequenced writes, no duplicate-index scatter ambiguity.
-        inv_order = jnp.argsort(order)
+        # (inverse by scatter, not argsort: one scatter vs a full sort)
+        inv_order = jnp.zeros((m,), jnp.int32).at[order].set(
+            jnp.arange(m, dtype=jnp.int32))
         pos_exist = inv_order[:n]
         vals2 = jnp.take(w_val, pos_exist, axis=1)
         nvs2 = jnp.take(w_nv, pos_exist, axis=1)
@@ -412,6 +555,17 @@ class IndexedMerkleTree:
         nv = field.limbs_to_int(np.asarray(self.next_vals)[:, index])
         ni = field.limbs_to_int(np.asarray(self.next_idxs)[:, index])
         return (v, nv, ni)
+
+    def non_inclusion_witness(self, values) -> NonInclusionWitness:
+        """Batched non-membership witnesses for `values` (prover side of
+        the standalone verify_non_inclusion predicate).  ok=False lanes mean
+        the value is present (or 0) — no witness exists."""
+        k = len(values)
+        f = _non_inclusion_witness_fn(self.tree_depth, k, self.tree_depth)
+        queries = jnp.asarray(field.ints_to_limbs([int(v) for v in values]))
+        w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
+        return NonInclusionWitness(ok=np.asarray(w["ok"]), **{
+            key: v for key, v in w.items() if key != "ok"})
 
     # -- mutation ------------------------------------------------------------
 

@@ -1,0 +1,154 @@
+"""Sparse-prefix indexed Merkle tree — deep trees without dense storage.
+
+The reference's native tree materializes every level densely
+(src/utils.rs:20-57), which caps practical depth (~2^20 leaves).  Aztec-style
+nullifier trees are specified at depth 32+; a dense level-0 array there would
+be 2^32 field elements.  Insertions, however, only ever occupy slots
+0..count (the slot cursor appends left-to-right — reference test planner,
+src/indexed_merkle_tree.rs:632-660), so the tree is always an *active
+prefix* of 2^ad leaves plus an all-empty right flank.
+
+This class stores only the active prefix (dense arrays, doubled on demand)
+plus the per-level zero-subtree hashes; roots and proofs are extended to
+full depth with the left-spine fold (indexed._spine_fold / _extend_proof).
+Bit-exactness: a SparseIndexedMerkleTree(depth) produces the same roots and
+witnesses as IndexedMerkleTree(depth) for any insert sequence — enforced by
+tests/test_sparse.py.
+
+Capacity growth rehashes all active leaves once per doubling (amortized
+O(1) hashes per insert).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import field
+from ..ops import hashing as poseidon_jax
+from . import indexed
+from .indexed import InsertWitness, _zero_level_roots
+from .merkle import MerkleTree
+
+
+class SparseIndexedMerkleTree:
+    """Indexed Merkle tree over 2^depth slots with sparse-prefix storage.
+
+    Same API and witness semantics as indexed.IndexedMerkleTree; depth may
+    be up to 48+.  initial_capacity_log2 sets the starting active prefix."""
+
+    def __init__(self, depth: int, initial_capacity_log2: int = 10):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.tree_depth = depth
+        self.active_depth = min(max(initial_capacity_log2, 1), depth)
+        self.count = 0
+        self._alloc(self.active_depth)
+
+    def _alloc(self, ad: int):
+        n = 1 << ad
+        z = jnp.zeros((field.LIMBS, n), dtype=jnp.uint32)
+        self.vals, self.next_vals, self.next_idxs = z, z, z
+        self.levels = tuple(
+            jnp.broadcast_to(
+                jnp.asarray(field.int_to_limbs(h))[:, None],
+                (field.LIMBS, n >> d)).astype(jnp.uint32)
+            for d, h in enumerate(_zero_level_roots(ad)))
+
+    def _grow_to(self, need: int):
+        """Double the active prefix until it holds `need` slots."""
+        ad = self.active_depth
+        while (1 << ad) < need:
+            ad += 1
+        if ad == self.active_depth:
+            return
+        if ad > self.tree_depth:
+            raise ValueError("tree full")
+        pad = (1 << ad) - self.vals.shape[1]
+        zcol = jnp.zeros((field.LIMBS, pad), dtype=jnp.uint32)
+        self.vals = jnp.concatenate([self.vals, zcol], axis=1)
+        self.next_vals = jnp.concatenate([self.next_vals, zcol], axis=1)
+        self.next_idxs = jnp.concatenate([self.next_idxs, zcol], axis=1)
+        leaves = poseidon_jax.hash3(self.vals, self.next_vals, self.next_idxs)
+        self.levels = tuple(MerkleTree.build(leaves).levels)
+        self.active_depth = ad
+
+    # -- queries -------------------------------------------------------------
+
+    def get_root(self):
+        return indexed._root_fold_fn(self.active_depth, self.tree_depth)(
+            self.levels[-1])
+
+    def get_root_int(self) -> int:
+        return field.limbs_to_int(np.asarray(self.get_root())[:, 0])
+
+    def get_leaf_ints(self, index: int):
+        v = field.limbs_to_int(np.asarray(self.vals)[:, index])
+        nv = field.limbs_to_int(np.asarray(self.next_vals)[:, index])
+        ni = field.limbs_to_int(np.asarray(self.next_idxs)[:, index])
+        return (v, nv, ni)
+
+    def non_inclusion_witness(self, values):
+        """Batched non-membership witnesses (full-depth proofs/roots)."""
+        k = len(values)
+        f = indexed._non_inclusion_witness_fn(
+            self.active_depth, k, self.tree_depth)
+        queries = jnp.asarray(field.ints_to_limbs([int(v) for v in values]))
+        w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
+        return indexed.NonInclusionWitness(ok=np.asarray(w["ok"]), **{
+            key: v for key, v in w.items() if key != "ok"})
+
+    # -- mutation ------------------------------------------------------------
+
+    def insert(self, value: int) -> InsertWitness:
+        """Sequential insert; witness proofs/roots are FULL tree depth."""
+        if self.count + 1 >= (1 << self.tree_depth):
+            raise ValueError("tree full")
+        self._grow_to(self.count + 2)
+        step = indexed._insert_step_fn(self.active_depth, self.tree_depth)
+        new_val = jnp.asarray(field.int_to_limbs(value))[:, None]
+        (self.vals, self.next_vals, self.next_idxs, self.levels), w = step(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            new_val, jnp.int32(self.count))
+        self.count += 1
+        return InsertWitness(ok=np.asarray(w["ok"]), **{
+            k: v for k, v in w.items() if k != "ok"})
+
+    def insert_batch(self, values) -> np.ndarray:
+        k = len(values)
+        if self.count + k >= (1 << self.tree_depth):
+            raise ValueError("tree full")
+        self._grow_to(self.count + k + 1)
+        step = indexed._insert_batch_fn(self.active_depth, k)
+        new_vals = field.ints_to_limbs([int(v) for v in values])
+        (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            jnp.asarray(new_vals), jnp.int32(self.count))
+        self.count += k
+        return np.asarray(ok)
+
+    # -- serialization -------------------------------------------------------
+
+    def to_arrays(self) -> dict:
+        return {
+            "depth": np.int64(self.tree_depth),
+            "count": np.int64(self.count),
+            "vals": np.asarray(self.vals),
+            "next_vals": np.asarray(self.next_vals),
+            "next_idxs": np.asarray(self.next_idxs),
+            "sparse": np.int64(1),
+        }
+
+    @classmethod
+    def from_arrays(cls, arrays: dict) -> "SparseIndexedMerkleTree":
+        n = int(arrays["vals"].shape[1])
+        tree = cls(int(arrays["depth"]),
+                   initial_capacity_log2=max(n.bit_length() - 1, 1))
+        tree.count = int(arrays["count"])
+        tree.vals = jnp.asarray(arrays["vals"])
+        tree.next_vals = jnp.asarray(arrays["next_vals"])
+        tree.next_idxs = jnp.asarray(arrays["next_idxs"])
+        leaves = poseidon_jax.hash3(tree.vals, tree.next_vals, tree.next_idxs)
+        tree.levels = tuple(MerkleTree.build(leaves).levels)
+        return tree

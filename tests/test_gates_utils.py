@@ -90,7 +90,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
 def test_config_and_metrics():
     cfg = EngineConfig()
-    assert cfg.poseidon.r_p == 57 and cfg.hash_engine == "mxu"
+    assert cfg.poseidon.r_p == 57 and cfg.hash_engine == "auto"
     m = Metrics()
     m.record_hashes(10)
     m.record_inserts(5, rejected=1)
