@@ -37,6 +37,24 @@ from .poseidon_rns import _constants
 
 N_CH = 48          # 2n residue channels
 DEFAULT_TILE = 1024
+# extension-dot flavor: "bf16" (8-bit digit blocks + fused est row) or
+# "int8" (7-bit digit blocks on the 2x-rate int8 MXU path; the Kawamura
+# estimate moves to a VPU sublane reduction, f32-precise so margins widen)
+DEFAULT_DOTS = "bf16"
+
+
+def _ext_lhs_i8(a: np.ndarray) -> np.ndarray:
+    """Base-extension lhs [3n_out, 2n_in] int8: 7-bit digit split blocks
+    [[A1, 0], [A0, A1], [0, A0]] with scales 2^14, 2^7, 1."""
+    n_out, n_in = a.shape
+    a = a.astype(np.int64)
+    a1, a0 = (a >> 7).astype(np.int8), (a & 127).astype(np.int8)
+    lhs = np.zeros((3 * n_out, 2 * n_in), dtype=np.int8)
+    lhs[0:n_out, 0:n_in] = a1
+    lhs[n_out:2 * n_out, 0:n_in] = a0
+    lhs[n_out:2 * n_out, n_in:] = a1
+    lhs[2 * n_out:3 * n_out, n_in:] = a0
+    return lhs
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +79,7 @@ def _packed():
     # mds: [2n, t, t, 1] -> [2n, t*t] (column 3i+j = M[i][j])
     mds_k = np.ascontiguousarray(
         mds[..., 0].transpose(1, 2, 0)).reshape(-1, N_CH).T
-    cols = np.zeros((N_CH, 12), np.float32)   # per-channel constant columns
+    cols = np.zeros((N_CH, 14), np.float32)   # per-channel constant columns
     n = c.n
     cols[:, 0] = c.q_all[:, 0]
     cols[:, 1] = c.invq_all[:, 0]
@@ -75,8 +93,12 @@ def _packed():
     cols[:n, 9] = c.neg_m2[:, 0]
     cols[:, 10] = iv0
     cols[:, 11] = one
+    cols[:n, 12] = [(1 << 14) % int(q) for q in c.spec.q2]   # c14 (ext1 out)
+    cols[:n, 13] = [(1 << 14) % int(q) for q in c.spec.q1]   # c14 (ext2 out)
+    from .rns_spec import default_rns
     return (rc_k.astype(np.float32), mds_k.astype(np.float32),
             c.ext1_lhs.astype(np.float32), c.ext2_lhs.astype(np.float32),
+            _ext_lhs_i8(default_rns().a1), _ext_lhs_i8(default_rns().a2),
             cols, r_f, r_p)
 
 
@@ -86,6 +108,27 @@ def _packed():
 
 def _mod(x, q, invq):
     return x - q * jnp.floor(x * invq)
+
+
+def _extend_i8(sig, lhs_i8, c14, q, invq, neg_m, invq_in, delta, clamp):
+    """int8-MXU base extension.  sig: [n_in, X] quasi-canonical; the alpha
+    estimate is a VPU sublane reduction in f32 (error << the bf16 margins)."""
+    s1 = jnp.floor(sig * (1.0 / 128.0))
+    s0 = sig - 128.0 * s1
+    est = jnp.sum(sig * invq_in, axis=0, keepdims=True)      # [1, X]
+    alpha = jnp.floor(est + delta)
+    if clamp:
+        alpha = jnp.maximum(alpha, 0.0)
+    rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.int8)
+    out = jax.lax.dot_general(lhs_i8, rhs, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    n = out.shape[0] // 3
+    s2f = out[:n].astype(jnp.float32)
+    s1f = out[n:2 * n].astype(jnp.float32)
+    s0f = out[2 * n:].astype(jnp.float32)
+    total = (_mod(s2f, q, invq) * c14 + _mod(s1f, q, invq) * 128.0 + s0f
+             + alpha * neg_m)
+    return _mod(total, q, invq)
 
 
 def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp):
@@ -105,8 +148,8 @@ def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp):
     return _mod(total, q, invq)
 
 
-def _make_redc(lhs1, lhs2, cols):
-    """Bind constants; cols: [48, 12] channel-major column table.
+def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
+    """Bind constants; cols: [48, 14] channel-major column table.
     Returns redc(w [48, X], rc [48, X or 1] | None)."""
     n = N_CH // 2
     q_all, invq_all = cols[:, 0:1], cols[:, 1:2]
@@ -116,19 +159,30 @@ def _make_redc(lhs1, lhs2, cols):
     c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
     c16_b2, neg_m1 = cols[:n, 6:7], cols[:n, 7:8]
     c16_b1, neg_m2 = cols[:n, 8:9], cols[:n, 9:10]
-    lhs1_b = lhs1.astype(jnp.bfloat16)
-    lhs2_b = lhs2.astype(jnp.bfloat16)
+    c14_b2, c14_b1 = cols[:n, 12:13], cols[:n, 13:14]
+    if dots == "int8":
+        lhs1_b = lhs1                          # already int8 tables
+        lhs2_b = lhs2
+        ext1 = lambda sig: _extend_i8(sig, lhs1_b, c14_b2, q2, invq2,
+                                      neg_m1, invq1, -0.25, True)
+        ext2 = lambda tau: _extend_i8(tau, lhs2_b, c14_b1, q1, invq1,
+                                      neg_m2, invq2, 0.5, False)
+    else:
+        lhs1_b = lhs1.astype(jnp.bfloat16)
+        lhs2_b = lhs2.astype(jnp.bfloat16)
+        ext1 = lambda sig: _extend(sig, lhs1_b, c16_b2, q2, invq2,
+                                   neg_m1, -0.25, True)
+        ext2 = lambda tau: _extend(tau, lhs2_b, c16_b1, q1, invq1,
+                                   neg_m2, 0.5, False)
 
     def redc(w, rc=None):
         wq = _mod(w, q_all, invq_all)
         w1, w2 = wq[:n], wq[n:]
         sig = _mod(w1 * k1, q1, invq1)
-        s_ext = _extend(sig, lhs1_b, c16_b2, q2, invq2, neg_m1,
-                        -0.25, clamp=True)
+        s_ext = ext1(sig)
         tau = _mod(w2 * c1 + s_ext * c2, q2, invq2)
         z2_raw = tau * e2
-        z1 = _extend(tau, lhs2_b, c16_b1, q1, invq1, neg_m2,
-                     0.5, clamp=False)
+        z1 = ext2(tau)
         if rc is not None:
             z1 = _mod(z1 + rc[:n], q1, invq1)
             z2_raw = z2_raw + rc[n:]
@@ -205,14 +259,17 @@ def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _make_kernel(n_perms: int, t_tile: int, mode: str):
+def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16"):
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
-    rc_np, mds_np, lhs1_np, lhs2_np, cols_np, r_f, r_p = _packed()
+    (rc_np, mds_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8, cols_np,
+     r_f, r_p) = _packed()
+    lhs1_np, lhs2_np = (lhs1_i8, lhs2_i8) if dots == "int8" else \
+        (lhs1_bf, lhs2_bf)
 
     def kernel(rc_ref, mds_ref, lhs1_ref, lhs2_ref, cols_ref, *io):
         cols = cols_ref[:]
         lhs1, lhs2 = lhs1_ref[:], lhs2_ref[:]
-        redc, (q_all, invq_all) = _make_redc(lhs1, lhs2, cols)
+        redc, (q_all, invq_all) = _make_redc(lhs1, lhs2, cols, dots=dots)
         canon = lambda x: _mod(x, q_all, invq_all)
         mds_arr = mds_ref[:]                  # [48, 9]
         mds = [[mds_arr[:, 3 * i + j:3 * i + j + 1] for j in range(3)]
@@ -256,8 +313,9 @@ def _const_specs():
 
 
 @lru_cache(maxsize=None)
-def _permute_fn(n_perms: int, t_tile: int, interpret: bool):
-    kernel, consts = _make_kernel(n_perms, t_tile, "perm")
+def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
+                dots: str = "bf16"):
+    kernel, consts = _make_kernel(n_perms, t_tile, "perm", dots=dots)
 
     @jax.jit
     def f(st):
@@ -279,15 +337,15 @@ def _permute_fn(n_perms: int, t_tile: int, interpret: bool):
 
 
 def permute_n(st, n_perms: int = 1, t_tile: int = DEFAULT_TILE,
-              interpret: bool = False):
+              interpret: bool = False, dots: str = DEFAULT_DOTS):
     """n_perms chained permutations on f32[3*48, B] (B % t_tile == 0;
     word j occupies rows 48j..48j+47)."""
-    return _permute_fn(n_perms, t_tile, interpret)(st)
+    return _permute_fn(n_perms, t_tile, interpret, dots)(st)
 
 
 @lru_cache(maxsize=None)
-def _hash_fn(mode: str, t_tile: int, interpret: bool):
-    kernel, consts = _make_kernel(1, t_tile, mode)
+def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16"):
+    kernel, consts = _make_kernel(1, t_tile, mode, dots=dots)
     n_in = 2 if mode == "hash2" else 3
 
     @jax.jit
@@ -317,18 +375,20 @@ def _pad(x, t_tile):
     return x, b
 
 
-def hash2(a, b, t_tile: int = DEFAULT_TILE, interpret: bool = False):
+def hash2(a, b, t_tile: int = DEFAULT_TILE, interpret: bool = False,
+          dots: str = DEFAULT_DOTS):
     """Canonical limbs uint32[16, B] x2 -> uint32[16, B] (Merkle node)."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
-    out = _hash_fn("hash2", t_tile, interpret)(ra, rb)
+    out = _hash_fn("hash2", t_tile, interpret, dots)(ra, rb)
     return field_rns.to_limbs(out[:, :nb])
 
 
-def hash3(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False):
+def hash3(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False,
+          dots: str = DEFAULT_DOTS):
     """Canonical limbs uint32[16, B] x3 -> uint32[16, B] (indexed leaf)."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
     rc, _ = _pad(field_rns.from_limbs(c), t_tile)
-    out = _hash_fn("hash3", t_tile, interpret)(ra, rb, rc)
+    out = _hash_fn("hash3", t_tile, interpret, dots)(ra, rb, rc)
     return field_rns.to_limbs(out[:, :nb])

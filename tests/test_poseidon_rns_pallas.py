@@ -1,0 +1,73 @@
+"""Fused Pallas RNS kernel: interpret-mode bit-exactness (both dot flavors).
+
+Compiled-mode exactness is exercised on the real chip by the bench/driver
+(same kernel, same constants); interpret mode runs the identical jaxpr on
+CPU, so these tests pin the algorithm and layouts.
+"""
+
+import random
+
+import numpy as np
+
+from imt_tpu.ops import field
+from imt_tpu.ops import poseidon_rns_pallas as pk
+from imt_tpu.ops.poseidon_ref import generate_params, hash_fixed
+
+rng = random.Random(0xFACE)
+PARAMS = generate_params()
+ANCHOR = 1960587138944869480785025106734196872454309951825657414575195034687326603497
+
+
+def _cases(n):
+    xs = [rng.randrange(field.P) for _ in range(n)]
+    ys = [rng.randrange(field.P) for _ in range(n)]
+    zs = [rng.randrange(field.P) for _ in range(n)]
+    return xs, ys, zs
+
+
+def test_pallas_hash_anchor_bf16():
+    z = field.ints_to_limbs([0])
+    got = field.limbs_to_ints(np.asarray(
+        pk.hash3(z, z, z, t_tile=128, interpret=True, dots="bf16")))
+    assert got[0] == ANCHOR
+
+
+def test_pallas_hash_parity_bf16():
+    xs, ys, zs = _cases(8)
+    la, lb, lc = (field.ints_to_limbs(v) for v in (xs, ys, zs))
+    g2 = field.limbs_to_ints(np.asarray(
+        pk.hash2(la, lb, t_tile=128, interpret=True, dots="bf16")))
+    assert g2 == [hash_fixed([a, b], PARAMS) for a, b in zip(xs, ys)]
+    g3 = field.limbs_to_ints(np.asarray(
+        pk.hash3(la, lb, lc, t_tile=128, interpret=True, dots="bf16")))
+    assert g3 == [hash_fixed([a, b, c], PARAMS)
+                  for a, b, c in zip(xs, ys, zs)]
+
+
+def test_pallas_hash_parity_int8():
+    xs, ys, zs = _cases(8)
+    la, lb, lc = (field.ints_to_limbs(v) for v in (xs, ys, zs))
+    g3 = field.limbs_to_ints(np.asarray(
+        pk.hash3(la, lb, lc, t_tile=128, interpret=True, dots="int8")))
+    assert g3 == [hash_fixed([a, b, c], PARAMS)
+                  for a, b, c in zip(xs, ys, zs)]
+    z = field.ints_to_limbs([0])
+    got = field.limbs_to_ints(np.asarray(
+        pk.hash3(z, z, z, t_tile=128, interpret=True, dots="int8")))
+    assert got[0] == ANCHOR
+
+
+def test_pallas_edge_values():
+    for trip in [(0, 0, 0), (field.P - 1, field.P - 1, field.P - 1)]:
+        la, lb, lc = (field.ints_to_limbs([v]) for v in trip)
+        got = field.limbs_to_ints(np.asarray(
+            pk.hash3(la, lb, lc, t_tile=128, interpret=True)))[0]
+        assert got == hash_fixed(list(trip), PARAMS)
+
+
+def test_pallas_nonmultiple_batch_padding():
+    xs, ys, _ = _cases(5)   # 5 is not a multiple of the tile
+    la, lb = field.ints_to_limbs(xs), field.ints_to_limbs(ys)
+    g2 = field.limbs_to_ints(np.asarray(
+        pk.hash2(la, lb, t_tile=128, interpret=True)))
+    assert g2 == [hash_fixed([a, b], PARAMS) for a, b in zip(xs, ys)]
