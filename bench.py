@@ -55,10 +55,11 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
         import os
         from imt_tpu.ops import poseidon_rns_pallas as pk
         tile = int(os.environ.get("IMT_PALLAS_TILE", pk.DEFAULT_TILE))
+        dots = os.environ.get("IMT_PALLAS_DOTS", pk.DEFAULT_DOTS)
 
         class _Eng:
             def permute(self, s):
-                return pk.permute_n(s, 1, t_tile=tile)
+                return pk.permute_n(s, 1, t_tile=tile, dots=dots)
         eng = _Eng()
         shape = (144, batch)
         mask = jnp.uint32(0x7FF)
@@ -174,12 +175,14 @@ def bench_non_inclusion(depth: int, n_leaves: int, k: int,
                        for _ in range(n_leaves - 2)])
 
     from imt_tpu.ops import field
+    verify = jax.jit(indexed.verify_non_inclusion)   # eager would pay the
+    # tunnel's ~300ms RPC per op; one jitted program instead
 
     def round_trip():
         qs = [rng.randrange(1, 1 << 253) for _ in range(k)]
         w = tree.non_inclusion_witness(qs)
         qlimbs = jax.numpy.asarray(field.ints_to_limbs(qs))
-        ok = indexed.verify_non_inclusion(
+        ok = verify(
             w.root, w.low_leaf_val, w.low_leaf_next_val, w.low_leaf_next_idx,
             w.low_leaf_proof, w.low_leaf_proof_helper, qlimbs,
             w.is_new_leaf_largest)

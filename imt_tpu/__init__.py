@@ -18,11 +18,14 @@ Quick start::
 from .tree.indexed import (  # noqa: F401
     IndexedMerkleTree,
     InsertWitness,
+    NonInclusionWitness,
     ZERO_LEAF_HASH,
     insert_leaf,
     verify_non_inclusion,
 )
+from .tree.sparse import SparseIndexedMerkleTree  # noqa: F401
 from .tree.merkle import MerkleTree, compute_root_from_helpers  # noqa: F401
+from .ops import hashing  # noqa: F401
 from .ops.field import P as FIELD_MODULUS  # noqa: F401
 
 __version__ = "0.1.0"

@@ -32,7 +32,12 @@ def save(tree: IndexedMerkleTree, path: str) -> None:
         raise
 
 
-def load(path: str) -> IndexedMerkleTree:
+def load(path: str):
+    """Load a snapshot; dispatches on the `sparse` marker so dense and
+    sparse-prefix trees round-trip through the same files."""
     with np.load(path) as z:
         arrays = {k: z[k] for k in z.files}
+    if int(arrays.get("sparse", 0)):
+        from ..tree.sparse import SparseIndexedMerkleTree
+        return SparseIndexedMerkleTree.from_arrays(arrays)
     return IndexedMerkleTree.from_arrays(arrays)

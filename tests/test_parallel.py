@@ -61,7 +61,7 @@ def test_sharded_paths_subprocess():
     repo_root = os.path.dirname(here)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run([sys.executable, script], env=env,
-                         capture_output=True, text=True, timeout=560,
+                         capture_output=True, text=True, timeout=1500,
                          cwd=os.path.dirname(here))
     assert out.returncode == 0, out.stderr[-3000:]
     assert "SHARDED-OK" in out.stdout

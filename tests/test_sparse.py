@@ -83,6 +83,11 @@ def test_sparse_depth32():
 
 
 def test_sparse_growth_and_checkpoint():
+    import os
+    import tempfile
+
+    from imt_tpu.utils import checkpoint
+
     t = SparseIndexedMerkleTree(depth=10, initial_capacity_log2=1)
     vals = [rng.randrange(1, field.P) for _ in range(40)]
     t.insert_batch(vals)            # forces several capacity doublings
@@ -92,3 +97,9 @@ def test_sparse_growth_and_checkpoint():
     t2.insert(123456789)
     t.insert(123456789)
     assert t2.get_root_int() == t.get_root_int()
+    # utils.checkpoint dispatches on the sparse marker
+    path = os.path.join(tempfile.mkdtemp(), "sparse.npz")
+    checkpoint.save(t, path)
+    t3 = checkpoint.load(path)
+    assert isinstance(t3, SparseIndexedMerkleTree)
+    assert t3.get_root_int() == t.get_root_int()
