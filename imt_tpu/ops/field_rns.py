@@ -162,11 +162,13 @@ def _split_digits(sig):
 
 
 def _extend(sig, lhs_np, c16_col, q_col, invq_col, neg_m_col, delta: float,
-            clamp: bool):
+            clamp: bool, rc=None):
     """One Kawamura base extension: sigma [n_in, *b] -> residues [n_out, *b].
 
     delta: alpha = floor(est + delta) (delta=-0.25 underestimates for ext1,
-    +0.5 is exact for ext2).  clamp: max(alpha, 0) (ext1 only)."""
+    +0.5 is exact for ext2).  clamp: max(alpha, 0) (ext1 only).
+    rc (optional, broadcastable [n_out, ...]): fused ARC add before the
+    final mod — pre-mod total < 2^23.8 and rc < 2^11.3, still exact f32."""
     s1, s0 = _split_digits(sig)
     out = _dot(lhs_np, jnp.concatenate([s1, s0], axis=0))
     n_out = (out.shape[0] - 1) // 3
@@ -178,6 +180,8 @@ def _extend(sig, lhs_np, c16_col, q_col, invq_col, neg_m_col, delta: float,
     m1b = mod_q(s1_blk, q_col, invq_col)
     total = (s2_blk * _b(c16_col, s2_blk) + m1b * 256.0 + s0_blk
              + alpha[None] * _b(neg_m_col, s2_blk))
+    if rc is not None:
+        total = total + rc
     return mod_q(total, q_col, invq_col)
 
 
@@ -208,12 +212,13 @@ def redc(w, rc=None, consts: RnsDeviceConsts | None = None):
     tau = mod_q(t, c.q_all[n:], c.invq_all[n:])
 
     z2_raw = tau * _b(c.e2, tau)
+    # ARC fused into ext2's final mod (B1 half) and z2's single mod (B2
+    # half): saves one mod_q on n channels per redc-with-rc.
     z1 = _extend(tau, c.ext2_lhs, c.c16_b1, c.q_all[:n], c.invq_all[:n],
-                 c.neg_m2, 0.5, clamp=False)
+                 c.neg_m2, 0.5, clamp=False,
+                 rc=None if rc is None else rc[:n])
     if rc is not None:
         # rc: jnp f32, shape broadcastable against w (e.g. [2n, t, 1]).
-        # z1 is already quasi-canonical: one more mod after the add.
-        z1 = mod_q(z1 + rc[:n], c.q_all[:n], c.invq_all[:n])
         z2_raw = z2_raw + rc[n:]
     z2 = mod_q(z2_raw, c.q_all[n:], c.invq_all[n:])
     return jnp.concatenate([z1, z2], axis=0)

@@ -37,23 +37,40 @@ from .poseidon_rns import _constants
 
 N_CH = 48          # 2n residue channels
 DEFAULT_TILE = 1024
-# extension-dot flavor: "bf16" (8-bit digit blocks + fused est row) or
-# "int8" (7-bit digit blocks on the 2x-rate int8 MXU path; the Kawamura
-# estimate moves to a VPU sublane reduction, f32-precise so margins widen)
-DEFAULT_DOTS = "bf16"
+# extension-dot flavor: "int8" (7-bit digit blocks on the 2x-rate int8 MXU
+# path; the Kawamura estimate rides the dot as three exact fixed-point rows —
+# see _ext_lhs_i8) or "bf16" (8-bit digit blocks + fused est row).  int8
+# measures ~29% faster than the pre-fusion kernel on the same-day chip.
+DEFAULT_DOTS = "int8"
 
 
-def _ext_lhs_i8(a: np.ndarray) -> np.ndarray:
-    """Base-extension lhs [3n_out, 2n_in] int8: 7-bit digit split blocks
-    [[A1, 0], [A0, A1], [0, A0]] with scales 2^14, 2^7, 1."""
+def _ext_lhs_i8(a: np.ndarray, invq_in: np.ndarray) -> np.ndarray:
+    """Base-extension lhs [3n_out + 3, 2n_in] int8: 7-bit digit split blocks
+    [[A1, 0], [A0, A1], [0, A0]] with scales 2^14, 2^7, 1, plus THREE
+    Kawamura-estimate rows.  The estimate est = sum_i sig_i/q_i rides the
+    integer dot in fixed point: w_i = round(invq_i * 2^21) (<= 1049) split as
+    w = 2^7*hi + lo, so with sig = 2^7*s1 + s0,
+        sum w_i sig_i = 2^14*(hi.s1) + 2^7*(lo.s1 + hi.s0) + lo.s0
+    and the three rows give est = (2^14*A + 2^7*B + C) * 2^-21 with absolute
+    error <= 24 * 0.5*2^-21 * max(sig) ~ 0.014 — far inside the +-1/4
+    alpha margins proven for the bf16 est row (this row is MORE precise than
+    the bf16 one: bf16 rounding of invq is ~2^-9 relative)."""
     n_out, n_in = a.shape
     a = a.astype(np.int64)
     a1, a0 = (a >> 7).astype(np.int8), (a & 127).astype(np.int8)
-    lhs = np.zeros((3 * n_out, 2 * n_in), dtype=np.int8)
+    lhs = np.zeros((3 * n_out + 3, 2 * n_in), dtype=np.int8)
     lhs[0:n_out, 0:n_in] = a1
     lhs[n_out:2 * n_out, 0:n_in] = a0
     lhs[n_out:2 * n_out, n_in:] = a1
     lhs[2 * n_out:3 * n_out, n_in:] = a0
+    w = np.round(invq_in.astype(np.float64).ravel() * (1 << 21)).astype(
+        np.int64)
+    assert (w > 0).all() and (w >> 7 <= 127).all()   # w <= 2^14 - 1
+    hi, lo = (w >> 7).astype(np.int8), (w & 127).astype(np.int8)
+    lhs[3 * n_out + 0, 0:n_in] = hi
+    lhs[3 * n_out + 1, 0:n_in] = lo
+    lhs[3 * n_out + 1, n_in:] = hi
+    lhs[3 * n_out + 2, n_in:] = lo
     return lhs
 
 
@@ -96,9 +113,12 @@ def _packed():
     cols[:n, 12] = [(1 << 14) % int(q) for q in c.spec.q2]   # c14 (ext1 out)
     cols[:n, 13] = [(1 << 14) % int(q) for q in c.spec.q1]   # c14 (ext2 out)
     from .rns_spec import default_rns
+    spec = default_rns()
+    invq1 = 1.0 / np.asarray(spec.q1, np.float64)
+    invq2 = 1.0 / np.asarray(spec.q2, np.float64)
     return (rc_k.astype(np.float32), mds_k.astype(np.float32),
             c.ext1_lhs.astype(np.float32), c.ext2_lhs.astype(np.float32),
-            _ext_lhs_i8(default_rns().a1), _ext_lhs_i8(default_rns().a2),
+            _ext_lhs_i8(spec.a1, invq1), _ext_lhs_i8(spec.a2, invq2),
             cols, r_f, r_p)
 
 
@@ -110,29 +130,36 @@ def _mod(x, q, invq):
     return x - q * jnp.floor(x * invq)
 
 
-def _extend_i8(sig, lhs_i8, c14, q, invq, neg_m, invq_in, delta, clamp):
+def _extend_i8(sig, lhs_i8, c14, q, invq, neg_m, delta, clamp, rc=None):
     """int8-MXU base extension.  sig: [n_in, X] quasi-canonical; the alpha
-    estimate is a VPU sublane reduction in f32 (error << the bf16 margins)."""
+    estimate rides the integer dot as three fixed-point rows (see
+    _ext_lhs_i8) — no VPU cross-sublane reduction.  rc (optional [n, X or 1])
+    is a fused ARC add before the final mod: total stays < 2^22.7 + q < 2^24."""
     s1 = jnp.floor(sig * (1.0 / 128.0))
     s0 = sig - 128.0 * s1
-    est = jnp.sum(sig * invq_in, axis=0, keepdims=True)      # [1, X]
-    alpha = jnp.floor(est + delta)
-    if clamp:
-        alpha = jnp.maximum(alpha, 0.0)
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.int8)
     out = jax.lax.dot_general(lhs_i8, rhs, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    n = out.shape[0] // 3
+    n = (out.shape[0] - 3) // 3
     s2f = out[:n].astype(jnp.float32)
     s1f = out[n:2 * n].astype(jnp.float32)
-    s0f = out[2 * n:].astype(jnp.float32)
+    s0f = out[2 * n:3 * n].astype(jnp.float32)
+    e = out[3 * n:3 * n + 3].astype(jnp.float32)             # [3, X]
+    est = (e[0:1] * 16384.0 + e[1:2] * 128.0 + e[2:3]) * (1.0 / 2097152.0)
+    alpha = jnp.floor(est + delta)
+    if clamp:
+        alpha = jnp.maximum(alpha, 0.0)
     total = (_mod(s2f, q, invq) * c14 + _mod(s1f, q, invq) * 128.0 + s0f
              + alpha * neg_m)
+    if rc is not None:
+        total = total + rc
     return _mod(total, q, invq)
 
 
-def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp):
-    """Kawamura base extension, [24, X] -> [24, X] (see field_rns._extend)."""
+def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp, rc=None):
+    """Kawamura base extension, [24, X] -> [24, X] (see field_rns._extend).
+    rc (optional [n, X or 1]) is a fused ARC add before the final mod:
+    total stays < 2^22.7 + q < 2^24 (exact in f32)."""
     s1 = jnp.floor(sig * (1.0 / 256.0))
     s0 = sig - 256.0 * s1
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.bfloat16)
@@ -145,6 +172,8 @@ def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp):
     m1b = _mod(out[n:2 * n], q, invq)
     total = (out[:n] * c16 + m1b * 256.0 + out[2 * n:3 * n]
              + alpha * neg_m)
+    if rc is not None:
+        total = total + rc
     return _mod(total, q, invq)
 
 
@@ -164,16 +193,17 @@ def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
         lhs1_b = lhs1                          # already int8 tables
         lhs2_b = lhs2
         ext1 = lambda sig: _extend_i8(sig, lhs1_b, c14_b2, q2, invq2,
-                                      neg_m1, invq1, -0.25, True)
-        ext2 = lambda tau: _extend_i8(tau, lhs2_b, c14_b1, q1, invq1,
-                                      neg_m2, invq2, 0.5, False)
+                                      neg_m1, -0.25, True)
+        ext2 = lambda tau, rc1=None: _extend_i8(tau, lhs2_b, c14_b1, q1,
+                                                invq1, neg_m2, 0.5, False,
+                                                rc=rc1)
     else:
         lhs1_b = lhs1.astype(jnp.bfloat16)
         lhs2_b = lhs2.astype(jnp.bfloat16)
         ext1 = lambda sig: _extend(sig, lhs1_b, c16_b2, q2, invq2,
                                    neg_m1, -0.25, True)
-        ext2 = lambda tau: _extend(tau, lhs2_b, c16_b1, q1, invq1,
-                                   neg_m2, 0.5, False)
+        ext2 = lambda tau, rc1=None: _extend(tau, lhs2_b, c16_b1, q1, invq1,
+                                             neg_m2, 0.5, False, rc=rc1)
 
     def redc(w, rc=None):
         wq = _mod(w, q_all, invq_all)
@@ -182,9 +212,12 @@ def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
         s_ext = ext1(sig)
         tau = _mod(w2 * c1 + s_ext * c2, q2, invq2)
         z2_raw = tau * e2
-        z1 = ext2(tau)
+        # ARC fused into ext2's final mod (B1 half) and z2's single mod
+        # (B2 half): saves one _mod on 24 channels per redc-with-rc.
+        # Bounds: ext2's pre-mod total < 2^22.7 and rc < 2^11.3, so the
+        # fused total stays integral and < 2^24 (exact f32 floor-mod range).
+        z1 = ext2(tau, rc[:n] if rc is not None else None)
         if rc is not None:
-            z1 = _mod(z1 + rc[:n], q1, invq1)
             z2_raw = z2_raw + rc[n:]
         z2 = _mod(z2_raw, q2, invq2)
         return jnp.concatenate([z1, z2], axis=0)
