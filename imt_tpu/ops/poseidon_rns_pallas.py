@@ -87,15 +87,37 @@ def _packed():
     # extraction is then a lane RANGE slice -> [48, w] (int indexing of
     # loaded arrays lowers to >2D gathers Mosaic rejects).
     # rc: [rounds, 2n, t, 1] -> [2n, rounds*128]: round r's words live at
-    # lanes 128r..128r+2 (Mosaic dynamic lane slices must be 128-aligned)
+    # lanes 128r..128r+2 (Mosaic dynamic lane slices must be 128-aligned).
+    # Round 0's rc is added directly to the (Montgomery-domain) state, so it
+    # stays in M1-form; rounds >= 1 are added into the deferred MDS sum
+    # BEFORE its Montgomery reduction, so they are baked in M1^2-form:
+    # redc(acc + rc*M1^2 mod p) = acc*M1^{-1} + rc*M1  (mod p).
+    from .poseidon_ref import generate_params
+    params = generate_params()
+    m1 = c.spec.m1
+    m1sq = pow(m1, 2, P)
+    qall = [int(q) for q in c.spec.all_q()]
+    n = c.n
+    # k1-folding: MDS-fed reductions skip the explicit sig = w1*k1 multiply
+    # because the B1 rows of the MDS table (and of the rc columns they
+    # absorb) are pre-scaled by k1 per channel — the reduction's entry mod
+    # then yields the Kawamura digits directly.
+    k1i = [int(v) for v in c.spec.k1]
     n_rounds = rc.shape[0]
     rc_k = np.zeros((N_CH, n_rounds * 128), np.float32)
     for r in range(n_rounds):
         for j in range(3):
-            rc_k[:, 128 * r + j] = rc[r, :, j, 0]
-    # mds: [2n, t, t, 1] -> [2n, t*t] (column 3i+j = M[i][j])
+            v = params.round_constants[r][j] * (m1 if r == 0 else m1sq) % P
+            col = [v % q for q in qall]
+            if r > 0:                           # rides the scaled MDS sum
+                col[:n] = [col[i] * k1i[i] % qall[i] for i in range(n)]
+            rc_k[:, 128 * r + j] = col
+    # mds: [2n, t, t, 1] -> [2n, t*t] (column 3i+j = M[i][j]); B1 rows
+    # k1-scaled (see above)
     mds_k = np.ascontiguousarray(
-        mds[..., 0].transpose(1, 2, 0)).reshape(-1, N_CH).T
+        mds[..., 0].transpose(1, 2, 0)).reshape(-1, N_CH).T.copy()
+    for i in range(n):
+        mds_k[i] = (mds_k[i].astype(np.int64) * k1i[i]) % qall[i]
     cols = np.zeros((N_CH, 14), np.float32)   # per-channel constant columns
     n = c.n
     cols[:, 0] = c.q_all[:, 0]
@@ -130,36 +152,42 @@ def _mod(x, q, invq):
     return x - q * jnp.floor(x * invq)
 
 
-def _extend_i8(sig, lhs_i8, c14, q, invq, neg_m, delta, clamp, rc=None):
+def _extend_i8(sig, lhs_i8, q, invq, neg_m, delta, clamp):
     """int8-MXU base extension.  sig: [n_in, X] quasi-canonical; the alpha
     estimate rides the integer dot as three fixed-point rows (see
-    _ext_lhs_i8) — no VPU cross-sublane reduction.  rc (optional [n, X or 1])
-    is a fused ARC add before the final mod: total stays < 2^22.7 + q < 2^24."""
+    _ext_lhs_i8) — no VPU cross-sublane reduction.
+
+    The three digit-block rows combine as hi = s2*128 + s1 in int32 BEFORE
+    the first mod (value = hi*2^7 + s0): hi <= 24*(18*18*128 + 18*127*2)
+    = 1,105,056 < 2^24, so one mod replaces the former two and the f32 cast
+    of hi is exact."""
     s1 = jnp.floor(sig * (1.0 / 128.0))
     s0 = sig - 128.0 * s1
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.int8)
     out = jax.lax.dot_general(lhs_i8, rhs, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     n = (out.shape[0] - 3) // 3
-    s2f = out[:n].astype(jnp.float32)
-    s1f = out[n:2 * n].astype(jnp.float32)
+    # combine in f32 (int32 multiplies are emulated on the VPU): exact,
+    # hi <= 24*(18*18*128 + 18*127*2) = 1,105,056 < 2^24
+    hi = out[:n].astype(jnp.float32) * 128.0 + out[n:2 * n].astype(
+        jnp.float32)
     s0f = out[2 * n:3 * n].astype(jnp.float32)
     e = out[3 * n:3 * n + 3].astype(jnp.float32)             # [3, X]
     est = (e[0:1] * 16384.0 + e[1:2] * 128.0 + e[2:3]) * (1.0 / 2097152.0)
     alpha = jnp.floor(est + delta)
     if clamp:
         alpha = jnp.maximum(alpha, 0.0)
-    total = (_mod(s2f, q, invq) * c14 + _mod(s1f, q, invq) * 128.0 + s0f
-             + alpha * neg_m)
-    if rc is not None:
-        total = total + rc
+    # total <= (q+2)*128 + 24*127^2 + 24*q < 2^20 (exact f32)
+    total = _mod(hi, q, invq) * 128.0 + s0f + alpha * neg_m
     return _mod(total, q, invq)
 
 
-def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp, rc=None):
+def _extend(sig, lhs, q, invq, neg_m, delta, clamp):
     """Kawamura base extension, [24, X] -> [24, X] (see field_rns._extend).
-    rc (optional [n, X or 1]) is a fused ARC add before the final mod:
-    total stays < 2^22.7 + q < 2^24 (exact in f32)."""
+
+    Same combine-order trick as _extend_i8 with 8-bit digits: hi = s2*256
+    + s1 <= 24*(9*9*256 + 9*255*2) = 607,824 < 2^24 (exact f32), one mod
+    instead of two."""
     s1 = jnp.floor(sig * (1.0 / 256.0))
     s0 = sig - 256.0 * s1
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.bfloat16)
@@ -169,57 +197,40 @@ def _extend(sig, lhs, c16, q, invq, neg_m, delta, clamp, rc=None):
     alpha = jnp.floor(est + delta)
     if clamp:
         alpha = jnp.maximum(alpha, 0.0)
-    m1b = _mod(out[n:2 * n], q, invq)
-    total = (out[:n] * c16 + m1b * 256.0 + out[2 * n:3 * n]
-             + alpha * neg_m)
-    if rc is not None:
-        total = total + rc
+    hi = out[:n] * 256.0 + out[n:2 * n]
+    # total <= (q+2)*256 + 24*255^2 + 24*q < 2^21.1 (exact f32)
+    total = _mod(hi, q, invq) * 256.0 + out[2 * n:3 * n] + alpha * neg_m
     return _mod(total, q, invq)
 
 
 def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
     """Bind constants; cols: [48, 14] channel-major column table.
-    Returns redc(w [48, X], rc [48, X or 1] | None)."""
+    Returns redc(w [48, X]).  Round-constant adds are NOT fused here any
+    more: they ride the deferred MDS accumulate in M1^2-form (see _packed)."""
     n = N_CH // 2
     q_all, invq_all = cols[:, 0:1], cols[:, 1:2]
     q1, invq1 = q_all[:n], invq_all[:n]
     q2, invq2 = q_all[n:], invq_all[n:]
     k1 = cols[:n, 2:3]
     c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
-    c16_b2, neg_m1 = cols[:n, 6:7], cols[:n, 7:8]
-    c16_b1, neg_m2 = cols[:n, 8:9], cols[:n, 9:10]
-    c14_b2, c14_b1 = cols[:n, 12:13], cols[:n, 13:14]
-    if dots == "int8":
-        lhs1_b = lhs1                          # already int8 tables
-        lhs2_b = lhs2
-        ext1 = lambda sig: _extend_i8(sig, lhs1_b, c14_b2, q2, invq2,
-                                      neg_m1, -0.25, True)
-        ext2 = lambda tau, rc1=None: _extend_i8(tau, lhs2_b, c14_b1, q1,
-                                                invq1, neg_m2, 0.5, False,
-                                                rc=rc1)
-    else:
-        lhs1_b = lhs1.astype(jnp.bfloat16)
-        lhs2_b = lhs2.astype(jnp.bfloat16)
-        ext1 = lambda sig: _extend(sig, lhs1_b, c16_b2, q2, invq2,
-                                   neg_m1, -0.25, True)
-        ext2 = lambda tau, rc1=None: _extend(tau, lhs2_b, c16_b1, q1, invq1,
-                                             neg_m2, 0.5, False, rc=rc1)
+    neg_m1, neg_m2 = cols[:n, 7:8], cols[:n, 9:10]
+    ext = _extend_i8 if dots == "int8" else _extend
+    lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
+    lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
+    ext1 = lambda sig: ext(sig, lhs1_b, q2, invq2, neg_m1, -0.25, True)
+    ext2 = lambda tau: ext(tau, lhs2_b, q1, invq1, neg_m2, 0.5, False)
 
-    def redc(w, rc=None):
+    def redc(w, digits_ready: bool = False):
+        """digits_ready: the caller pre-scaled the B1 half by k1 (MDS-fed
+        reductions use k1-folded constant tables — see _packed), so the
+        entry mod directly yields the Kawamura digits."""
         wq = _mod(w, q_all, invq_all)
         w1, w2 = wq[:n], wq[n:]
-        sig = _mod(w1 * k1, q1, invq1)
+        sig = w1 if digits_ready else _mod(w1 * k1, q1, invq1)
         s_ext = ext1(sig)
         tau = _mod(w2 * c1 + s_ext * c2, q2, invq2)
-        z2_raw = tau * e2
-        # ARC fused into ext2's final mod (B1 half) and z2's single mod
-        # (B2 half): saves one _mod on 24 channels per redc-with-rc.
-        # Bounds: ext2's pre-mod total < 2^22.7 and rc < 2^11.3, so the
-        # fused total stays integral and < 2^24 (exact f32 floor-mod range).
-        z1 = ext2(tau, rc[:n] if rc is not None else None)
-        if rc is not None:
-            z2_raw = z2_raw + rc[n:]
-        z2 = _mod(z2_raw, q2, invq2)
+        z1 = ext2(tau)
+        z2 = _mod(tau * e2, q2, invq2)
         return jnp.concatenate([z1, z2], axis=0)
 
     return redc, (q_all, invq_all)
@@ -227,18 +238,19 @@ def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
 
 def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
     """One permutation on a list of three [48, T] words (VMEM values).
-    mds: [3][3] list of [48, 1] residue columns."""
+    mds: [3][3] list of [48, 1] residue columns.
+
+    Round r's ARC (r >= 1) is a [48, 1] column added into round r-1's
+    deferred MDS accumulate before its reduction — the rc table holds
+    rc*M1^2 mod p so the value after redc is acc*M1^{-1} + rc*M1 (the
+    Montgomery ARC), and no [48, 3T] rc broadcast is ever materialized.
+    Channel bound: 3*(q-1)*(q+2) + (q-1) = 16,675,768 < 2^24 (exact f32)."""
     half = r_f // 2
     n_rounds = r_f + r_p
 
     def rc_row(r):
         # rc_ref: [48, rounds*128], word j of round r at lane 128r+j
         return [rc_ref[:, 128 * r + j:128 * r + j + 1] for j in range(3)]
-
-    def rc_cat(r):
-        return jnp.concatenate(
-            [jnp.broadcast_to(rc_ref[:, 128 * r + j:128 * r + j + 1],
-                              (N_CH, t_tile)) for j in range(3)], axis=1)
 
     rc0 = rc_row(0)
     words = [canon(w + rc0[j]) for j, w in enumerate(words)]
@@ -248,19 +260,21 @@ def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
         x4 = redc(x2 * x2)
         return redc(x4 * cat)
 
-    def mds_redc(cat, rc_c):
+    def mds_redc(cat, rc):
         ws = [cat[:, j * t_tile:(j + 1) * t_tile] for j in range(3)]
         rows = []
         for i in range(3):
             acc = mds[i][0] * ws[0] + mds[i][1] * ws[1] + mds[i][2] * ws[2]
+            if rc is not None:
+                acc = acc + rc[i]
             rows.append(acc)
-        return redc(jnp.concatenate(rows, axis=1), rc_c)
+        return redc(jnp.concatenate(rows, axis=1), digits_ready=True)
 
     cat = jnp.concatenate(words, axis=1)      # [48, 3T]
 
     # 4 leading full rounds (unrolled; static rc indices)
     for r in range(1, half + 1):
-        cat = mds_redc(sbox_cat(cat), rc_cat(r))
+        cat = mds_redc(sbox_cat(cat), rc_row(r))
 
     # 57 partial rounds under fori_loop (dynamic rc index)
     def partial_body(ri, cat):
@@ -271,19 +285,14 @@ def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
         x5 = redc(x4 * x0)
         cat = jnp.concatenate([x5, cat[:, t_tile:]], axis=1)
         blk = rc_ref[:, pl.ds(pl.multiple_of(128 * r, 128), 128)]
-        rc_c = jnp.concatenate(
-            [jnp.broadcast_to(blk[:, j:j + 1], (N_CH, t_tile))
-             for j in range(3)], axis=1)
-        return mds_redc(cat, rc_c)
+        return mds_redc(cat, [blk[:, j:j + 1] for j in range(3)])
 
     cat = jax.lax.fori_loop(0, r_p, partial_body, cat)
 
     # 4 trailing full rounds; the last has no ARC
     for k in range(half):
         r = half + 1 + r_p + k
-        rc_c = rc_cat(r) if r < n_rounds else jnp.zeros(
-            (N_CH, 3 * t_tile), jnp.float32)
-        cat = mds_redc(sbox_cat(cat), rc_c)
+        cat = mds_redc(sbox_cat(cat), rc_row(r) if r < n_rounds else None)
 
     return [cat[:, j * t_tile:(j + 1) * t_tile] for j in range(3)]
 

@@ -45,24 +45,23 @@ def main():
             def f(seed):
                 # int4 host arrays crash axon transfer: cast on device
                 lhs = jnp.asarray(lhs_np).astype(dt)
-                x = (jax.lax.broadcasted_iota(jnp.uint32, (k, N), 1)
-                     ^ seed) & 7
-                rhs = x.astype(dt)
+                x = ((jax.lax.broadcasted_iota(jnp.uint32, (k, N), 1)
+                      ^ seed) & 7).astype(jnp.float32)
 
                 def body(i, carry):
                     out = jax.lax.dot_general(
-                        lhs, rhs, (((1,), (0,)), ((), ())),
+                        lhs, carry.astype(dt), (((1,), (0,)), ((), ())),
                         preferred_element_type=acc_t)
-                    # fold output back so the loop carries a dependency
-                    return carry + out[:1, :].astype(jnp.float32)
+                    # feed the output back as the next rhs (un-hoistable)
+                    nxt = out[:k].astype(jnp.float32)
+                    return nxt - 8.0 * jnp.floor(nxt * 0.125)
 
-                return jax.lax.fori_loop(
-                    0, reps, body, jnp.zeros((1, N), jnp.float32))[:, :8]
+                return jax.lax.fori_loop(0, reps, body, x)[:1, :8]
             return f
 
         try:
             times = {}
-            for reps in (64, 256):
+            for reps in (1024, 4096):
                 f = make(reps)
                 t0 = time.time()
                 np.asarray(f(jnp.uint32(1)))
@@ -70,7 +69,7 @@ def main():
                 t0 = time.time()
                 np.asarray(f(jnp.uint32(2)))
                 times[reps] = time.time() - t0
-            slope = (times[256] - times[64]) / (256 - 64)
+            slope = (times[4096] - times[1024]) / (4096 - 1024)
             rate = m * k * N / slope / 1e12
             results[name] = rate
             log(f"{name}: {slope*1e6:.1f} us/dot -> {rate:.2f} Tmac/s")
