@@ -1,4 +1,6 @@
-"""Test config: force JAX onto a virtual 4-device CPU mesh (matching the 4 host cores; more virtual devices than cores thrashes the thread pools).
+"""Test config: force JAX onto single-device CPU (multi-virtual-device
+meshes thrash the 4-core host; sharded tests spawn a subprocess with
+xla_force_host_platform_device_count=8 — see tests/_sharded_check.py).
 
 The session environment preloads jax with JAX_PLATFORMS=axon (a tunnel to one
 real TPU chip) where every XLA compile pays a ~40s RPC; CPU compiles the same
