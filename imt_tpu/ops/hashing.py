@@ -12,10 +12,12 @@ platform decide:
              one-time Mosaic compile, worth paying only on wide levels.
 * ``rns``  — f32 residue arithmetic + MXU base-extension dots
              (poseidon_rns.py).  ~8x the CIOS path on TPU; bit-exact.
-* ``cios`` — uint32 16-bit-limb CIOS Montgomery (poseidon_jax.py).  Small
-             compile, fast on CPU; the engine all parity tests anchor on.
+* ``cios`` — uint32 16-bit-limb CIOS Montgomery (poseidon_jax.py).  The
+             engine the dedicated parity tests anchor on.
 
-Default: ``pallas`` on TPU-like platforms (tpu/axon), ``cios`` elsewhere.
+Default: ``pallas`` on TPU-like platforms (tpu/axon), ``rns`` elsewhere
+(the f32 residue ops vectorize ~9x better than emulated uint32 CIOS on
+AVX-512 hosts, which is what makes the CPU test suite tolerable).
 
 Switch BEFORE building trees: jitted tree steps cache the engine they were
 traced with (functools.lru_cache on the step builders).
@@ -48,7 +50,7 @@ def backend() -> str:
         return env
     import jax
     return "pallas" if jax.devices()[0].platform in ("tpu", "axon") \
-        else "cios"
+        else "rns"
 
 
 def _mod(batch: int):
