@@ -288,29 +288,55 @@ def _insert_step_fn(depth: int, full_depth: int | None = None):
 def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int):
     n = 1 << depth
 
+    m = n + k
+
     @jax.jit
     def f(vals, nvs, nis, levels, queries):
         # queries: [16, K] canonical values.  For each query find the low
-        # leaf: slot 0 sentinel or occupied slot with val < q < next_val
-        # (or next_val == 0).  [N, K] mask; absent -> ok=False lanes.
-        va = vals[:, :, None]                       # [16, N, 1]
-        qa = queries[:, None, :]                    # [16, 1, K]
-        nva = nvs[:, :, None]
+        # leaf: the linked-list participant (slot 0 sentinel or occupied
+        # slot) with the largest val < q.  Resolved with ONE packed-key sort
+        # over [existing slots + queries] — O((N+K) log) and no [N, K]
+        # broadcast (the former mask formulation materialized 16*N*K lanes,
+        # OOM above ~2^20 active slots).  Same trick as _insert_batch_fn.
         occupied = jnp.concatenate(
             [jnp.ones((1,), dtype=bool), ~field.is_zero(vals)[1:]])
-        mask = (occupied[:, None]
-                & field.less_than(jnp.broadcast_to(va, (field.LIMBS, n, k)),
-                                  jnp.broadcast_to(qa, (field.LIMBS, n, k)))
-                & (field.less_than(
-                    jnp.broadcast_to(qa, (field.LIMBS, n, k)),
-                    jnp.broadcast_to(nva, (field.LIMBS, n, k)))
-                   | field.is_zero(nvs)[:, None]))  # [N, K]
-        ok = jnp.any(mask, axis=0)
-        low_idx = jnp.argmax(mask, axis=0).astype(jnp.int32)    # [K]
+        all_vals = jnp.concatenate([vals, queries], axis=1)        # [16, M]
+        participant = jnp.concatenate(
+            [occupied, jnp.zeros(k, dtype=bool)])
+        # tie-break: an existing entry with val == q sorts BEFORE the query
+        # (key 9 = is_query), so the query's predecessor is that entry and
+        # low.val < q then fails -> ok=False (present value, no witness).
+        is_query = jnp.concatenate(
+            [jnp.zeros(n, jnp.uint32), jnp.ones(k, jnp.uint32)])
+        packed = tuple(
+            (all_vals[2 * j + 1] << 16) | all_vals[2 * j]
+            for j in range(field.LIMBS // 2 - 1, -1, -1))
+        sorted_ops = jax.lax.sort(
+            packed + (is_query, jnp.arange(m, dtype=jnp.int32)),
+            num_keys=9)
+        order = sorted_ops[-1]
+        part_s = jnp.take(participant, order)
+        # last participant strictly before each sorted position
+        pos = jnp.arange(m, dtype=jnp.int32)
+        prv = jax.lax.cummax(jnp.where(part_s, pos, -1))
+        prv = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv[:-1]])
+        found_s = prv >= 0
+        cand_s = jnp.take(order, jnp.clip(prv, 0, m - 1))   # original entry id
+        # scatter back to query lanes (entries n..m-1 are the queries)
+        inv = jnp.zeros((m,), jnp.int32).at[order].set(pos)
+        qpos = inv[n:]                                       # [K]
+        low_idx = jnp.take(cand_s, qpos).astype(jnp.int32)   # slot per query
+        found = jnp.take(found_s, qpos)
+        low_idx = jnp.where(found, low_idx, 0)
 
         low_val = jnp.take(vals, low_idx, axis=1)
         low_nv = jnp.take(nvs, low_idx, axis=1)
         low_ni = jnp.take(nis, low_idx, axis=1)
+
+        # a witness exists iff low.val < q and (q < low.next_val or the low
+        # leaf is the list tail) — identical to the former mask semantics
+        ok = (found & field.less_than(low_val, queries)
+              & (field.less_than(queries, low_nv) | field.is_zero(low_nv)))
 
         # sibling path per query (vectorized gather per level)
         proof, helpers = [], []

@@ -65,3 +65,28 @@ def test_non_inclusion_sparse_full_depth():
     # root must equal the tree's full-depth root on every lane
     root_int = t.get_root_int()
     assert field.limbs_to_int(np.asarray(w.root)[:, 0]) == root_int
+
+
+def test_non_inclusion_wide_tree_and_adjacent_values():
+    """Depth-13 tree (the former [N, K] mask formulation would materialize
+    16*8192*K lanes here) + adversarial adjacency: queries equal to,
+    one-below and one-above existing values, duplicates in the query batch,
+    and zero."""
+    import random
+
+    rng = random.Random(3)
+    t = IndexedMerkleTree(depth=13)
+    vals = sorted(rng.randrange(2, 1 << 253) for _ in range(500))
+    t.insert_batch(vals)
+    queries = [vals[0] - 1, vals[0], vals[0] + 1,
+               vals[250], vals[250] + 1, vals[250] + 1,
+               vals[-1], vals[-1] + 1, 0, 1]
+    expect_ok = [True, False, vals[0] + 1 != vals[1],
+                 False, vals[250] + 1 != vals[251],
+                 vals[250] + 1 != vals[251],
+                 False, True, False, True]
+    w = t.non_inclusion_witness(queries)
+    assert w.ok.tolist() == expect_ok
+    lanes = [i for i, e in enumerate(expect_ok) if e]
+    ok = _verify(w, queries)
+    assert np.asarray(ok)[lanes].all()
