@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 
@@ -60,3 +61,28 @@ class Metrics:
 
 
 GLOBAL_METRICS = Metrics()
+
+
+@contextmanager
+def trace(label: str, trace_dir: str | None = None):
+    """Profiling scope: wraps the region in a jax.profiler trace.
+
+    With trace_dir set (or IMT_TRACE_DIR in the env), captures a full XLA
+    profile viewable in TensorBoard/Perfetto; otherwise it is a named
+    TraceAnnotation plus a wall-clock log line — cheap enough to leave on
+    around production batch loops."""
+    import os
+
+    import jax
+
+    td = trace_dir or os.environ.get("IMT_TRACE_DIR")
+    t0 = time.time()
+    if td:
+        with jax.profiler.trace(td):
+            with jax.profiler.TraceAnnotation(label):
+                yield
+    else:
+        with jax.profiler.TraceAnnotation(label):
+            yield
+    log_event("trace", label=label, wall_s=round(time.time() - t0, 6),
+              profile_dir=td or "-")

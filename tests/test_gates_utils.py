@@ -97,3 +97,17 @@ def test_config_and_metrics():
     snap = m.snapshot()
     assert snap["permutations"] == 20 and snap["inserts_rejected"] == 1
     assert snap["perms_per_s"] > 0
+
+
+def test_trace_scope(tmp_path):
+    import jax.numpy as jnp
+
+    from imt_tpu.utils import observability
+
+    with observability.trace("unit"):                  # annotation-only
+        x = jnp.arange(4.0) * 2
+    assert float(x[1]) == 2.0
+    with observability.trace("unit2", trace_dir=str(tmp_path)):
+        jnp.arange(8.0).sum().block_until_ready()
+    # a profile capture must have been written
+    assert any(tmp_path.rglob("*")), "profiler wrote nothing"
