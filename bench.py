@@ -258,10 +258,35 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int) -> float:
     return total / dt
 
 
+def bench_oracle(batch: int, iters: int) -> float:
+    """Reference-equivalent CPU baseline: the C++ 4x64 Montgomery Poseidon
+    (the same algorithm/structure as the reference's pse-poseidon dependency)
+    hashing on one host core.  Gives vs-reference context since the reference
+    publishes no numbers (BASELINE.md)."""
+    import numpy as np
+
+    from imt_tpu.native import oracle
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1 << 62, (batch, 4), dtype=np.uint64)
+    b = rng.integers(0, 1 << 62, (batch, 4), dtype=np.uint64)
+    oracle.hash2_u64(a[:8], b[:8])                     # build + warm
+    t0 = time.time()
+    for _ in range(iters):
+        oracle.hash2_u64(a, b)
+    dt = time.time() - t0
+    rate = batch * iters / dt
+    log(f"C++ oracle: {rate:,.0f} hashes/s ({2*rate:,.0f} perms/s) "
+        f"single-core")
+    return rate
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--insert", action="store_true")
+    ap.add_argument("--oracle", action="store_true",
+                    help="C++ reference-equivalent CPU Poseidon baseline")
     ap.add_argument("--config", type=int, choices=[2, 3, 4, 5],
                     help="BASELINE.md benchmark config")
     ap.add_argument("--engine",
@@ -270,6 +295,15 @@ def main() -> None:
                     default="pallas")
     ap.add_argument("--batch", type=int, default=1 << 15)
     args = ap.parse_args()
+
+    if args.oracle:
+        rate = bench_oracle(4096, 2 if args.smoke else 32)
+        print(json.dumps({
+            "metric": "C++ reference-equivalent Poseidon hashes/s (1 core)",
+            "value": round(rate, 1), "unit": "hashes/s",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.config:
         if args.config == 2:
