@@ -74,3 +74,15 @@ def hash2(a, b):
 def hash3(a, b, c):
     """Batched 3-to-1 Poseidon hash (indexed leaf), canonical limbs."""
     return _mod(a.shape[-1]).hash3(a, b, c)
+
+
+def hash_fixed(cols):
+    """Batched fixed-length hash of any arity (the halo2-base
+    hash_fix_len_array contract).  Lengths 2/3 route through the dispatched
+    hash2/hash3 fast paths; other lengths use the RNS engine's sponge."""
+    if len(cols) == 2:
+        return hash2(*cols)
+    if len(cols) == 3:
+        return hash3(*cols)
+    from . import poseidon_rns
+    return poseidon_rns.default_engine().hash_fixed(list(cols))

@@ -136,6 +136,51 @@ class PoseidonRns:
         st = self.permute(st)
         return field_rns.to_limbs(st[:, 1], self.c)
 
+    def hash_fixed(self, cols):
+        """Arbitrary fixed-length hash — the halo2-base
+        ``PoseidonHasher::hash_fix_len_array`` contract (reference
+        src/indexed_merkle_tree.rs:92,:194; the sponge discipline of
+        pse-poseidon: absorb RATE=2 chunks with a permutation per full
+        chunk, pad the final chunk with a single 1 — SURVEY §2.2).
+
+        cols: list of canonical limb arrays uint32[16, B] (length >= 1);
+        returns uint32[16, B].  Lengths 2 and 3 match hash2/hash3."""
+        if not cols:
+            raise ValueError("hash_fixed needs at least one input")
+        xs = [field_rns.from_limbs(x, self.c) for x in cols]
+        b = xs[0].shape[-1:]
+        iv = jnp.broadcast_to(jnp.asarray(self._iv0)[:, None, None],
+                              xs[0].shape[:1] + (1,) + b)
+        zero = jnp.zeros_like(xs[0])
+        one = jnp.asarray(self._one)[:, None]
+
+        # first full/partial chunk seeds the state directly
+        w1 = xs[0]
+        w2 = xs[1] if len(xs) >= 2 else zero
+        st = jnp.concatenate([iv, w1[:, None], w2[:, None]], axis=1)
+        i = 2
+        if len(xs) == 1:                    # [x, 1] single padded chunk
+            st = jnp.concatenate(
+                [iv, w1[:, None], jnp.broadcast_to(
+                    one[:, :, None], w2[:, None].shape)], axis=1)
+            return field_rns.to_limbs(self.permute(st)[:, 1], self.c)
+        st = self.permute(st)
+        while i + 2 <= len(xs):             # full chunks
+            st = jnp.concatenate(
+                [st[:, 0:1], (st[:, 1] + xs[i])[:, None],
+                 (st[:, 2] + xs[i + 1])[:, None]], axis=1)
+            st = self.permute(st)
+            i += 2
+        if i < len(xs):                     # trailing element + pad 1
+            st = jnp.concatenate(
+                [st[:, 0:1], (st[:, 1] + xs[i])[:, None],
+                 (st[:, 2] + one)[:, None]], axis=1)
+        else:                               # pad-only chunk [1]
+            st = jnp.concatenate(
+                [st[:, 0:1], (st[:, 1] + one)[:, None], st[:, 2:3]], axis=1)
+        st = self.permute(st)
+        return field_rns.to_limbs(st[:, 1], self.c)
+
 
 _default_engine: PoseidonRns | None = None
 

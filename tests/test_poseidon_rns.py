@@ -59,3 +59,29 @@ def test_rns_hash_edge_values():
         assert got == hash_fixed(list(trip), PARAMS)
         got2 = field.limbs_to_ints(np.asarray(poseidon_rns.hash2(la, lb)))[0]
         assert got2 == hash_fixed([trip[0], trip[1]], PARAMS)
+
+
+def test_hash_fixed_arbitrary_arity_matches_oracle():
+    """hash_fixed for L=1..7 matches the python sponge oracle (the
+    halo2-base hash_fix_len_array contract beyond the 2/3 arities the
+    tree engine uses)."""
+    import random
+
+    import jax
+    import numpy as np
+
+    from imt_tpu.ops import field, hashing
+    from imt_tpu.ops.poseidon_ref import generate_params, hash_fixed
+
+    params = generate_params()
+    rng = random.Random(11)
+    b = 5
+    for arity in range(1, 8):
+        cols = [field.ints_to_limbs(
+            [rng.randrange(field.P) for _ in range(b)])
+            for _ in range(arity)]
+        got = field.limbs_to_ints(
+            np.asarray(jax.jit(hashing.hash_fixed)(cols)))
+        exp = [hash_fixed([int(field.limbs_to_int(c[:, j]))
+                           for c in cols], params) for j in range(b)]
+        assert got == exp, f"arity {arity}"
