@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <vector>
 
 namespace {
@@ -166,6 +167,152 @@ Fr hash3(const Fr& a, const Fr& b, const Fr& c) {
   return from_mont(st[1]);
 }
 
+// ----------------------------------------------------------------------------
+// Native indexed Merkle tree (the reference's L2 witness-generation layer —
+// src/utils.rs + the update_idx_leaf planner of src/indexed_merkle_tree.rs:632-
+// 660 — as a native runtime component).  Engine-parity semantics: duplicate or
+// zero inserts are REJECTED (ok=0) but still consume their slot, matching
+// imt_tpu/tree/indexed.py's documented divergence from the reference planner.
+//
+// Incremental: each insert costs 2*(depth+1) hashes (two dirty leaves, two
+// root paths) plus an O(log n) ordered-map predecessor lookup — vs the
+// reference's full-tree rebuild per insert (src/indexed_merkle_tree.rs:724-730).
+// ----------------------------------------------------------------------------
+
+inline int cmp_fr(const Fr& a, const Fr& b) {
+  for (int i = 3; i >= 0; --i) {
+    if (a.v[i] < b.v[i]) return -1;
+    if (a.v[i] > b.v[i]) return 1;
+  }
+  return 0;
+}
+
+struct FrLess {
+  bool operator()(const Fr& a, const Fr& b) const { return cmp_fr(a, b) < 0; }
+};
+
+inline bool is_zero_fr(const Fr& a) {
+  return !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+}
+
+struct IndexedTree {
+  int depth;
+  long n;       // slots = 2^depth
+  long count;   // inserts performed (slot cursor; slot i = count-th insert + 1)
+  // standard-form preimages, struct-of-arrays
+  std::vector<Fr> vals, next_vals, next_idxs;
+  std::vector<std::vector<Fr>> levels;  // [depth+1] levels, level 0 = leaf hashes
+  std::map<Fr, long, FrLess> by_val;    // linked-list participants (incl. slot 0)
+};
+
+// Rehash leaf `idx` and recompute its root path.
+void idx_update_path(IndexedTree* t, long idx) {
+  t->levels[0][idx] = hash3(t->vals[idx], t->next_vals[idx], t->next_idxs[idx]);
+  long cur = idx;
+  for (int d = 0; d < t->depth; ++d) {
+    long p = cur >> 1;
+    t->levels[d + 1][p] = hash2(t->levels[d][2 * p], t->levels[d][2 * p + 1]);
+    cur = p;
+  }
+}
+
+// Sibling path + helper bits (helper=1 iff left child — src/utils.rs:70-79).
+void idx_gather_proof(const IndexedTree* t, long idx, u64* proof, u64* helpers) {
+  long cur = idx;
+  for (int d = 0; d < t->depth; ++d) {
+    std::memcpy(proof + 4 * d, t->levels[d][cur ^ 1].v, 32);
+    helpers[d] = (cur % 2 == 0) ? 1 : 0;
+    cur >>= 1;
+  }
+}
+
+IndexedTree* idx_new(int depth) {
+  auto* t = new IndexedTree;
+  t->depth = depth;
+  t->n = 1L << depth;
+  t->count = 0;
+  Fr zero = {{0, 0, 0, 0}};
+  t->vals.assign(t->n, zero);
+  t->next_vals.assign(t->n, zero);
+  t->next_idxs.assign(t->n, zero);
+  Fr h = hash3(zero, zero, zero);
+  t->levels.resize(depth + 1);
+  for (int d = 0; d <= depth; ++d) {
+    t->levels[d].assign(t->n >> d, h);
+    if (d < depth) h = hash2(h, h);
+  }
+  t->by_val[zero] = 0;  // slot-0 sentinel participates in the linked list
+  return t;
+}
+
+// Witness layout (u64 counts; d = depth):
+//   old_root 4 | low_val 4 | low_nv 4 | low_ni 4 |
+//   new_root 4 | new_val 4 | new_nv 4 | new_ni 4 |
+//   low_proof 4d | new_proof 4d | low_help d | new_help d |
+//   new_index 1 | is_largest 1 | ok 1          (total 35 + 10d)
+int idx_insert(IndexedTree* t, const Fr& nv, u64* wit) {
+  if (t->count + 1 >= t->n) return -1;  // tree full
+  const int d = t->depth;
+  const long slot = t->count + 1;
+  u64* old_root = wit;
+  u64* low_val = wit + 4;
+  u64* low_nv = wit + 8;
+  u64* low_ni = wit + 12;
+  u64* new_root = wit + 16;
+  u64* new_val = wit + 20;
+  u64* new_nv = wit + 24;
+  u64* new_ni = wit + 28;
+  u64* low_proof = wit + 32;
+  u64* new_proof = wit + 32 + 4 * d;
+  u64* low_help = wit + 32 + 8 * d;
+  u64* new_help = wit + 32 + 9 * d;
+  u64* tail = wit + 32 + 10 * d;  // new_index, is_largest, ok
+
+  std::memcpy(old_root, t->levels[d][0].v, 32);
+
+  bool ok = !is_zero_fr(nv) && t->by_val.find(nv) == t->by_val.end();
+  long low_idx = 0;
+  if (ok) {
+    auto it = t->by_val.upper_bound(nv);
+    --it;  // predecessor: largest participant value < nv (sentinel guarantees one)
+    low_idx = it->second;
+  }
+  Fr lv = t->vals[low_idx], lnv = t->next_vals[low_idx],
+     lni = t->next_idxs[low_idx];
+  std::memcpy(low_val, lv.v, 32);
+  std::memcpy(low_nv, lnv.v, 32);
+  std::memcpy(low_ni, lni.v, 32);
+  idx_gather_proof(t, low_idx, low_proof, low_help);
+
+  Fr nleaf_nv = lnv, nleaf_ni = lni;
+  if (ok) {
+    Fr slot_fr = {{(u64)slot, 0, 0, 0}};
+    t->vals[slot] = nv;
+    t->next_vals[slot] = nleaf_nv;
+    t->next_idxs[slot] = nleaf_ni;
+    t->next_vals[low_idx] = nv;
+    t->next_idxs[low_idx] = slot_fr;
+    idx_update_path(t, low_idx);
+    // slot's own path update only rewrites slot's ancestors, never its
+    // siblings, so the proof gathered here equals the final-tree proof
+    // (the reference's witness discipline, src/indexed_merkle_tree.rs:734)
+    idx_gather_proof(t, slot, new_proof, new_help);
+    idx_update_path(t, slot);
+    t->by_val[nv] = slot;
+  } else {
+    idx_gather_proof(t, slot, new_proof, new_help);
+  }
+  std::memcpy(new_root, t->levels[d][0].v, 32);
+  std::memcpy(new_val, nv.v, 32);
+  std::memcpy(new_nv, nleaf_nv.v, 32);
+  std::memcpy(new_ni, nleaf_ni.v, 32);
+  tail[0] = (u64)slot;
+  tail[1] = is_zero_fr(nleaf_nv) ? 1 : 0;
+  tail[2] = ok ? 1 : 0;
+  t->count += 1;  // slot consumed even when rejected (engine semantics)
+  return ok ? 1 : 0;
+}
+
 }  // namespace
 
 // ----------------------------------------------------------------------------
@@ -256,6 +403,61 @@ void imt_tree_build(const u64* leaves, u64* out, long n) {
     src = dst;
     dst += (w / 2) * 4;
   }
+}
+
+// --- native indexed tree (opaque handle) ------------------------------------
+
+void* imt_idx_new(int depth) { return idx_new(depth); }
+
+void imt_idx_free(void* h) { delete static_cast<IndexedTree*>(h); }
+
+long imt_idx_count(const void* h) {
+  return static_cast<const IndexedTree*>(h)->count;
+}
+
+void imt_idx_root(const void* h, u64* out) {
+  auto* t = static_cast<const IndexedTree*>(h);
+  std::memcpy(out, t->levels[t->depth][0].v, 32);
+}
+
+// out: 12 u64 — (val, next_val, next_idx)
+void imt_idx_leaf(const void* h, long i, u64* out) {
+  auto* t = static_cast<const IndexedTree*>(h);
+  std::memcpy(out, t->vals[i].v, 32);
+  std::memcpy(out + 4, t->next_vals[i].v, 32);
+  std::memcpy(out + 8, t->next_idxs[i].v, 32);
+}
+
+// One insert with full witness (layout above).  Returns 1 accepted,
+// 0 rejected (duplicate/zero; slot still consumed), -1 tree full.
+int imt_idx_insert(void* h, const u64* val, u64* wit) {
+  Fr v;
+  std::memcpy(v.v, val, 32);
+  return idx_insert(static_cast<IndexedTree*>(h), v, wit);
+}
+
+// Sequential batch insert, no witness materialization.  ok_out: k bytes.
+// Returns the number accepted, or -1 if the batch would overflow the tree.
+long imt_idx_insert_batch(void* h, const u64* vals, long k,
+                          unsigned char* ok_out) {
+  auto* t = static_cast<IndexedTree*>(h);
+  if (t->count + k >= t->n) return -1;
+  std::vector<u64> wit(35 + 10 * (size_t)t->depth);
+  long acc = 0;
+  for (long i = 0; i < k; ++i) {
+    Fr v;
+    std::memcpy(v.v, vals + 4 * i, 32);
+    int r = idx_insert(t, v, wit.data());
+    ok_out[i] = (unsigned char)(r == 1);
+    acc += (r == 1);
+  }
+  return acc;
+}
+
+// Sibling path + helper bits for an arbitrary slot (proof against the
+// CURRENT tree).  proof: 4*depth u64; helpers: depth u64.
+void imt_idx_proof(const void* h, long index, u64* proof, u64* helpers) {
+  idx_gather_proof(static_cast<const IndexedTree*>(h), index, proof, helpers);
 }
 
 }  // extern "C"

@@ -43,6 +43,20 @@ def _load():
                         ("imt_add_mod", 3), ("imt_hash3", 4)]:
         getattr(lib, name).argtypes = [u64p] * nargs + [ctypes.c_long]
     lib.imt_tree_build.argtypes = [u64p, u64p, ctypes.c_long]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.imt_idx_new.argtypes = [ctypes.c_int]
+    lib.imt_idx_new.restype = ctypes.c_void_p
+    lib.imt_idx_free.argtypes = [ctypes.c_void_p]
+    lib.imt_idx_count.argtypes = [ctypes.c_void_p]
+    lib.imt_idx_count.restype = ctypes.c_long
+    lib.imt_idx_root.argtypes = [ctypes.c_void_p, u64p]
+    lib.imt_idx_leaf.argtypes = [ctypes.c_void_p, ctypes.c_long, u64p]
+    lib.imt_idx_insert.argtypes = [ctypes.c_void_p, u64p, u64p]
+    lib.imt_idx_insert.restype = ctypes.c_int
+    lib.imt_idx_insert_batch.argtypes = [ctypes.c_void_p, u64p,
+                                         ctypes.c_long, u8p]
+    lib.imt_idx_insert_batch.restype = ctypes.c_long
+    lib.imt_idx_proof.argtypes = [ctypes.c_void_p, ctypes.c_long, u64p, u64p]
 
     params = generate_params()
     rc = np.zeros((params.n_rounds * params.t, 4), dtype=np.uint64)
@@ -119,6 +133,91 @@ def tree_build(leaves) -> list[int]:
     out = np.zeros((2 * n - 1, 4), dtype=np.uint64)
     lib.imt_tree_build(_ptr(a), _ptr(out), n)
     return u64_to_ints(out)
+
+
+class NativeIndexedTree:
+    """Native (C++) indexed Merkle tree — the reference's out-of-circuit
+    witness-generation layer (src/utils.rs + the update_idx_leaf planner,
+    src/indexed_merkle_tree.rs:632-660) as a native runtime component.
+
+    Engine-parity semantics (imt_tpu/tree/indexed.py): duplicate/zero inserts
+    are rejected but consume their slot.  Incremental path updates make each
+    insert 2*(depth+1) hashes + an O(log n) planner lookup, vs the python
+    oracle's full-tree rebuild — use this for large differential soaks.
+
+    Witnesses for REJECTED inserts report the untouched tree (old==new root);
+    the JAX engine instead reports an as-if-applied new_root in rejected
+    lanes while leaving its state untouched — only accepted-lane witnesses
+    are comparable across the two.
+    """
+
+    def __init__(self, depth: int):
+        self._lib = _load()
+        self.depth = depth
+        self._h = ctypes.c_void_p(self._lib.imt_idx_new(depth))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.imt_idx_free(h)
+            self._h = None
+
+    @property
+    def count(self) -> int:
+        return self._lib.imt_idx_count(self._h)
+
+    def get_root(self) -> int:
+        out = np.zeros(4, dtype=np.uint64)
+        self._lib.imt_idx_root(self._h, _ptr(out))
+        return u64_to_ints(out[None])[0]
+
+    def get_leaf_ints(self, i: int):
+        out = np.zeros((3, 4), dtype=np.uint64)
+        self._lib.imt_idx_leaf(self._h, i, _ptr(out))
+        return tuple(u64_to_ints(out))
+
+    def get_proof(self, index: int) -> tuple[list[int], list[int]]:
+        proof = np.zeros((self.depth, 4), dtype=np.uint64)
+        helpers = np.zeros(self.depth, dtype=np.uint64)
+        self._lib.imt_idx_proof(self._h, index, _ptr(proof), _ptr(helpers))
+        return u64_to_ints(proof), [int(x) for x in helpers]
+
+    def insert(self, value: int) -> dict:
+        """One insert; returns the witness bundle as python ints (same keys
+        as tree/reference_oracle.py OracleIndexedTree.insert)."""
+        d = self.depth
+        wit = np.zeros(35 + 10 * d, dtype=np.uint64)
+        v = _int_to_u64(value % field.P)
+        r = self._lib.imt_idx_insert(self._h, _ptr(v), _ptr(wit))
+        if r < 0:
+            raise ValueError("tree full")
+        u = lambda off: u64_to_ints(wit[off:off + 4][None])[0]
+        vec = lambda off: u64_to_ints(wit[off:off + 4 * d].reshape(d, 4))
+        tail = wit[32 + 10 * d:]
+        return dict(
+            ok=bool(r),
+            old_root=u(0),
+            low_leaf=(u(4), u(8), u(12)),
+            new_root=u(16),
+            new_leaf=(u(20), u(24), u(28)),
+            low_leaf_proof=vec(32),
+            new_leaf_proof=vec(32 + 4 * d),
+            low_leaf_proof_helper=[int(x) for x in wit[32 + 8 * d:32 + 9 * d]],
+            new_leaf_proof_helper=[int(x) for x in wit[32 + 9 * d:32 + 10 * d]],
+            new_leaf_index=int(tail[0]),
+            is_new_leaf_largest=bool(tail[1]),
+        )
+
+    def insert_batch(self, values) -> np.ndarray:
+        """Sequential native batch insert; returns the acceptance mask."""
+        vals = ints_to_u64(values)
+        ok = np.zeros(len(values), dtype=np.uint8)
+        r = self._lib.imt_idx_insert_batch(
+            self._h, _ptr(vals), len(values), ok.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)))
+        if r < 0:
+            raise ValueError("tree full")
+        return ok.astype(bool)
 
 
 # --- raw-array fast paths (no python-int conversion) -------------------------
