@@ -25,6 +25,9 @@ from .tree.indexed import (  # noqa: F401
 )
 from .tree.sparse import SparseIndexedMerkleTree  # noqa: F401
 from .tree.merkle import MerkleTree, compute_root_from_helpers  # noqa: F401
+# multi-chip container (lazy heavy deps are fine: parallel.sharded only
+# imports jax + ops, both already loaded transitively above)
+from .parallel.sharded import ShardedIndexedMerkleTree  # noqa: F401
 from .ops import hashing  # noqa: F401
 from .ops.field import P as FIELD_MODULUS  # noqa: F401
 

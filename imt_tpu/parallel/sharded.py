@@ -108,3 +108,75 @@ def sharded_hash3(a, b, c, mesh: Mesh):
                 in_shardings=(sh, sh, sh), out_shardings=sh)
     return f(jax.device_put(a, sh), jax.device_put(b, sh),
              jax.device_put(c, sh))
+
+
+class ShardedIndexedMerkleTree:
+    """Indexed Merkle tree with mesh-sharded state — the multi-chip flagship.
+
+    Same API as tree.indexed.IndexedMerkleTree (insert / insert_batch /
+    non_inclusion_witness / roots / checkpointing via to_arrays), but the
+    slot dimension of the leaf state and of every tree level wide enough to
+    split lives sharded over the mesh axis.  The jitted insert/witness steps
+    are the SAME cached programs as single-device; GSPMD partitions the
+    global sort, gathers and dirty-path scatters and inserts the collectives
+    (the reference has no distributed machinery at all — SURVEY §2.3; this
+    is the TPU-native scaling answer).
+
+    Narrow levels (width < mesh size) stay replicated: the top of the tree
+    is latency-bound, so collectives there would cost more than they save.
+    """
+
+    def __init__(self, depth: int, mesh: Mesh | None = None):
+        from ..tree.indexed import IndexedMerkleTree
+        self._mesh = mesh or make_mesh()
+        self._inner = IndexedMerkleTree(depth)
+        self._shard = NamedSharding(self._mesh, P(None, "shard"))
+        self._repl = NamedSharding(self._mesh, P())
+        self._place()
+
+    def _place(self):
+        t, d = self._inner, self._mesh.devices.size
+        t.vals = jax.device_put(t.vals, self._shard)
+        t.next_vals = jax.device_put(t.next_vals, self._shard)
+        t.next_idxs = jax.device_put(t.next_idxs, self._shard)
+        t.levels = tuple(
+            jax.device_put(l, self._shard if l.shape[1] % d == 0
+                           and l.shape[1] >= d else self._repl)
+            for l in t.levels)
+
+    # -- delegated API ---------------------------------------------------------
+
+    @property
+    def tree_depth(self) -> int:
+        return self._inner.tree_depth
+
+    @property
+    def count(self) -> int:
+        return self._inner.count
+
+    def get_root(self):
+        return self._inner.get_root()
+
+    def get_root_int(self) -> int:
+        return self._inner.get_root_int()
+
+    def get_leaf_ints(self, index: int):
+        return self._inner.get_leaf_ints(index)
+
+    def insert(self, value: int):
+        w = self._inner.insert(value)
+        self._place()
+        return w
+
+    def insert_batch(self, values) -> np.ndarray:
+        from ..tree.indexed import _as_limb_batch
+        vals, _ = _as_limb_batch(values)
+        ok = self._inner.insert_batch(jax.device_put(vals, self._repl))
+        self._place()
+        return ok
+
+    def non_inclusion_witness(self, values):
+        return self._inner.non_inclusion_witness(values)
+
+    def to_arrays(self) -> dict:
+        return self._inner.to_arrays()

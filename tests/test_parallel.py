@@ -45,6 +45,23 @@ mesh2 = sharded.make_mesh(2)
 root2 = np.asarray(sharded.sharded_root(arr[:, :32], mesh2))
 assert field.limbs_to_int(root2[:, 0]) == \
     MerkleTree.build(arr[:, :32]).get_root_int()
+
+# sharded indexed tree container: bit-exact vs single-device, state sharded
+from imt_tpu.tree.indexed import IndexedMerkleTree
+st = sharded.ShardedIndexedMerkleTree(6, mesh)
+ref = IndexedMerkleTree(6)
+vals = [30, 10, 20, 5, 50, 35, 7, 7]       # includes a duplicate
+assert st.insert_batch(vals).tolist() == ref.insert_batch(vals).tolist()
+w1, w2 = st.insert(42), ref.insert(42)
+assert bool(w1.ok.all()) and bool(w2.ok.all())
+assert (np.asarray(w1.new_root) == np.asarray(w2.new_root)).all()
+assert st.get_root_int() == ref.get_root_int()
+nw = st.non_inclusion_witness([21, 20])
+assert nw.ok.tolist() == [True, False]
+shard_names = {d for l in st._inner.levels
+               for d in (getattr(l.sharding, "spec", None),)}
+assert any(s is not None and "shard" in str(s) for s in shard_names), \
+    "state not sharded"
 print("SHARDED-OK")
 """
 
