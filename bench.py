@@ -56,10 +56,12 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
         from imt_tpu.ops import poseidon_rns_pallas as pk
         tile = int(os.environ.get("IMT_PALLAS_TILE", pk.DEFAULT_TILE))
         dots = os.environ.get("IMT_PALLAS_DOTS", pk.DEFAULT_DOTS)
+        layout = os.environ.get("IMT_PALLAS_LAYOUT", pk.DEFAULT_LAYOUT)
 
         class _Eng:
             def permute(self, s):
-                return pk.permute_n(s, 1, t_tile=tile, dots=dots)
+                return pk.permute_n(s, 1, t_tile=tile, dots=dots,
+                                    layout=layout)
         eng = _Eng()
         shape = (144, batch)
         mask = jnp.uint32(0x7FF)

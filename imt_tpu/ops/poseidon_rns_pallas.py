@@ -42,6 +42,13 @@ DEFAULT_TILE = 1024
 # see _ext_lhs_i8) or "bf16" (8-bit digit blocks + fused est row).  int8
 # measures ~29% faster than the pre-fusion kernel on the same-day chip.
 DEFAULT_DOTS = "int8"
+# state layout inside the kernel: "cat" keeps each word as one [48, T] array
+# and concatenates the three words to [48, 3T] for full-width reductions;
+# "split" keeps six [24, T] arrays (3 words x 2 RNS halves) so NO concatenate
+# or channel-slice is ever materialized in the round loop (census: ~10% of
+# VPU elementwise work in "cat" is concat traffic).  Bit-exact either way;
+# the A/B lives in bench.py via IMT_PALLAS_LAYOUT.
+DEFAULT_LAYOUT = "cat"
 
 
 def _ext_lhs_i8(a: np.ndarray, invq_in: np.ndarray) -> np.ndarray:
@@ -298,54 +305,185 @@ def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
 
 
 # ---------------------------------------------------------------------------
+# Split-layout variant: state as (B1 half, B2 half) pairs of [24, X] arrays.
+# Identical arithmetic op-for-op with _make_redc/_permutation (same mods, same
+# dots, same proven bounds) — only the data layout changes: the B1/B2 channel
+# halves never live in one array, so the per-reduction entry slice and exit
+# concat disappear, and the three words stay separate so the round loop never
+# reassembles a [48, 3T] state.
+# ---------------------------------------------------------------------------
+
+def _make_redc_split(lhs1, lhs2, cols, dots: str = "bf16"):
+    """redc2((w1, w2)) -> (z1, z2) on [24, X] halves; see _make_redc."""
+    n = N_CH // 2
+    q_all, invq_all = cols[:, 0:1], cols[:, 1:2]
+    q1, invq1 = q_all[:n], invq_all[:n]
+    q2, invq2 = q_all[n:], invq_all[n:]
+    k1 = cols[:n, 2:3]
+    c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
+    neg_m1, neg_m2 = cols[:n, 7:8], cols[:n, 9:10]
+    ext = _extend_i8 if dots == "int8" else _extend
+    lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
+    lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
+    ext1 = lambda sig: ext(sig, lhs1_b, q2, invq2, neg_m1, -0.25, True)
+    ext2 = lambda tau: ext(tau, lhs2_b, q1, invq1, neg_m2, 0.5, False)
+
+    def redc2(w1, w2, digits_ready: bool = False):
+        w1q = _mod(w1, q1, invq1)
+        w2q = _mod(w2, q2, invq2)
+        sig = w1q if digits_ready else _mod(w1q * k1, q1, invq1)
+        s_ext = ext1(sig)
+        tau = _mod(w2q * c1 + s_ext * c2, q2, invq2)
+        return ext2(tau), _mod(tau * e2, q2, invq2)
+
+    def canon2(w):
+        return _mod(w[0], q1, invq1), _mod(w[1], q2, invq2)
+
+    return redc2, canon2
+
+
+def _permutation_split(words, redc2, canon2, rc_ref, mds, r_f, r_p):
+    """One permutation on a list of three ([24, T], [24, T]) word pairs.
+    mds: [3][3] list of ([24, 1], [24, 1]) residue-column pairs (B1 rows
+    k1-scaled exactly as in the cat layout — see _packed)."""
+    n = N_CH // 2
+    half = r_f // 2
+    n_rounds = r_f + r_p
+
+    def rc_row(r):
+        cols3 = [rc_ref[:, 128 * r + j:128 * r + j + 1] for j in range(3)]
+        return [(c[:n], c[n:]) for c in cols3]
+
+    rc0 = rc_row(0)
+    words = [canon2((w[0] + rc0[j][0], w[1] + rc0[j][1]))
+             for j, w in enumerate(words)]
+
+    def sbox(w):
+        x2 = redc2(w[0] * w[0], w[1] * w[1])
+        x4 = redc2(x2[0] * x2[0], x2[1] * x2[1])
+        return redc2(x4[0] * w[0], x4[1] * w[1])
+
+    def mds_redc(ws, rc):
+        out = []
+        for i in range(3):
+            a1 = (mds[i][0][0] * ws[0][0] + mds[i][1][0] * ws[1][0]
+                  + mds[i][2][0] * ws[2][0])
+            a2 = (mds[i][0][1] * ws[0][1] + mds[i][1][1] * ws[1][1]
+                  + mds[i][2][1] * ws[2][1])
+            if rc is not None:
+                a1 = a1 + rc[i][0]
+                a2 = a2 + rc[i][1]
+            out.append(redc2(a1, a2, digits_ready=True))
+        return tuple(out)
+
+    for r in range(1, half + 1):
+        words = mds_redc([sbox(w) for w in words], rc_row(r))
+
+    def partial_body(ri, ws):
+        r = half + 1 + ri
+        ws = (sbox(ws[0]), ws[1], ws[2])
+        blk = rc_ref[:, pl.ds(pl.multiple_of(128 * r, 128), 128)]
+        rc = [(blk[:n, j:j + 1], blk[n:, j:j + 1]) for j in range(3)]
+        return mds_redc(list(ws), rc)
+
+    words = jax.lax.fori_loop(0, r_p, partial_body, tuple(words))
+
+    for k in range(half):
+        r = half + 1 + r_p + k
+        words = mds_redc([sbox(w) for w in words],
+                         rc_row(r) if r < n_rounds else None)
+    return list(words)
+
+
+# ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16"):
+def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
+                 layout: str = DEFAULT_LAYOUT):
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
     (rc_np, mds_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8, cols_np,
      r_f, r_p) = _packed()
     lhs1_np, lhs2_np = (lhs1_i8, lhs2_i8) if dots == "int8" else \
         (lhs1_bf, lhs2_bf)
+    n = N_CH // 2
 
     def kernel(rc_ref, mds_ref, lhs1_ref, lhs2_ref, cols_ref, *io):
         cols = cols_ref[:]
         lhs1, lhs2 = lhs1_ref[:], lhs2_ref[:]
-        redc, (q_all, invq_all) = _make_redc(lhs1, lhs2, cols, dots=dots)
-        canon = lambda x: _mod(x, q_all, invq_all)
         mds_arr = mds_ref[:]                  # [48, 9]
-        mds = [[mds_arr[:, 3 * i + j:3 * i + j + 1] for j in range(3)]
-               for i in range(3)]
-        run = partial(_permutation, redc=redc, canon=canon, rc_ref=rc_ref,
-                      mds=mds, r_f=r_f, r_p=r_p, t_tile=t_tile)
+        if layout == "split":
+            redc2, canon2 = _make_redc_split(lhs1, lhs2, cols, dots=dots)
+            mds = [[(mds_arr[:n, 3 * i + j:3 * i + j + 1],
+                     mds_arr[n:, 3 * i + j:3 * i + j + 1])
+                    for j in range(3)] for i in range(3)]
+            run = partial(_permutation_split, redc2=redc2, canon2=canon2,
+                          rc_ref=rc_ref, mds=mds, r_f=r_f, r_p=r_p)
+            split = lambda x: (x[:n], x[n:])
+            padd = lambda w, c: (w[0] + c[0], w[1] + c[1])
+        else:
+            redc, (q_all, invq_all) = _make_redc(lhs1, lhs2, cols, dots=dots)
+            canon = lambda x: _mod(x, q_all, invq_all)
+            mds = [[mds_arr[:, 3 * i + j:3 * i + j + 1] for j in range(3)]
+                   for i in range(3)]
+            run = partial(_permutation, redc=redc, canon=canon, rc_ref=rc_ref,
+                          mds=mds, r_f=r_f, r_p=r_p, t_tile=t_tile)
 
         if mode == "perm":
             st_ref, out_ref = io
             # state io is 2D [3*48, T]: word j = rows 48j..48j+47 (Mosaic
             # lowers leading-index reads of 3D refs to unsupported gathers)
-            words = [st_ref[48 * j:48 * (j + 1)] for j in range(3)]
-            for _ in range(n_perms):
-                words = run(words)
-            for j in range(3):
-                out_ref[48 * j:48 * (j + 1)] = words[j]
+            if layout == "split":
+                words = [split(st_ref[48 * j:48 * (j + 1)]) for j in range(3)]
+                for _ in range(n_perms):
+                    words = run(words)
+                for j in range(3):
+                    out_ref[48 * j:48 * j + n] = words[j][0]
+                    out_ref[48 * j + n:48 * (j + 1)] = words[j][1]
+            else:
+                words = [st_ref[48 * j:48 * (j + 1)] for j in range(3)]
+                for _ in range(n_perms):
+                    words = run(words)
+                for j in range(3):
+                    out_ref[48 * j:48 * (j + 1)] = words[j]
         else:
             iv0 = cols[:, 10:11]
             one = cols[:, 11:12]
-            if mode == "hash2":
-                a_ref, b_ref, out_ref = io
-                words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
-                         a_ref[:], b_ref[:]]
-                words = run(words)
-                words = [words[0], words[1] + one, words[2]]
-                words = run(words)
+            if layout == "split":
+                iv0w = tuple(jnp.broadcast_to(h, (n, t_tile))
+                             for h in split(iv0))
+                onep = split(one)
+                if mode == "hash2":
+                    a_ref, b_ref, out_ref = io
+                    words = [iv0w, split(a_ref[:]), split(b_ref[:])]
+                    words = run(words)
+                    words = [words[0], padd(words[1], onep), words[2]]
+                    words = run(words)
+                else:
+                    a_ref, b_ref, c_ref, out_ref = io
+                    words = [iv0w, split(a_ref[:]), split(b_ref[:])]
+                    words = run(words)
+                    words = [words[0], padd(words[1], split(c_ref[:])),
+                             padd(words[2], onep)]
+                    words = run(words)
+                out_ref[:n] = words[1][0]
+                out_ref[n:] = words[1][1]
             else:
-                a_ref, b_ref, c_ref, out_ref = io
-                words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
-                         a_ref[:], b_ref[:]]
-                words = run(words)
-                words = [words[0], words[1] + c_ref[:], words[2] + one]
-                words = run(words)
-            out_ref[:] = words[1]
+                if mode == "hash2":
+                    a_ref, b_ref, out_ref = io
+                    words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
+                             a_ref[:], b_ref[:]]
+                    words = run(words)
+                    words = [words[0], words[1] + one, words[2]]
+                    words = run(words)
+                else:
+                    a_ref, b_ref, c_ref, out_ref = io
+                    words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
+                             a_ref[:], b_ref[:]]
+                    words = run(words)
+                    words = [words[0], words[1] + c_ref[:], words[2] + one]
+                    words = run(words)
+                out_ref[:] = words[1]
 
     return kernel, (rc_np, mds_np, lhs1_np, lhs2_np, cols_np)
 
@@ -356,8 +494,9 @@ def _const_specs():
 
 @lru_cache(maxsize=None)
 def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
-                dots: str = "bf16"):
-    kernel, consts = _make_kernel(n_perms, t_tile, "perm", dots=dots)
+                dots: str = "bf16", layout: str = DEFAULT_LAYOUT):
+    kernel, consts = _make_kernel(n_perms, t_tile, "perm", dots=dots,
+                                  layout=layout)
 
     @jax.jit
     def f(st):
@@ -379,15 +518,17 @@ def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
 
 
 def permute_n(st, n_perms: int = 1, t_tile: int = DEFAULT_TILE,
-              interpret: bool = False, dots: str = DEFAULT_DOTS):
+              interpret: bool = False, dots: str = DEFAULT_DOTS,
+              layout: str = DEFAULT_LAYOUT):
     """n_perms chained permutations on f32[3*48, B] (B % t_tile == 0;
     word j occupies rows 48j..48j+47)."""
-    return _permute_fn(n_perms, t_tile, interpret, dots)(st)
+    return _permute_fn(n_perms, t_tile, interpret, dots, layout)(st)
 
 
 @lru_cache(maxsize=None)
-def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16"):
-    kernel, consts = _make_kernel(1, t_tile, mode, dots=dots)
+def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16",
+             layout: str = DEFAULT_LAYOUT):
+    kernel, consts = _make_kernel(1, t_tile, mode, dots=dots, layout=layout)
     n_in = 2 if mode == "hash2" else 3
 
     @jax.jit
@@ -418,19 +559,19 @@ def _pad(x, t_tile):
 
 
 def hash2(a, b, t_tile: int = DEFAULT_TILE, interpret: bool = False,
-          dots: str = DEFAULT_DOTS):
+          dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
     """Canonical limbs uint32[16, B] x2 -> uint32[16, B] (Merkle node)."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
-    out = _hash_fn("hash2", t_tile, interpret, dots)(ra, rb)
+    out = _hash_fn("hash2", t_tile, interpret, dots, layout)(ra, rb)
     return field_rns.to_limbs(out[:, :nb])
 
 
 def hash3(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False,
-          dots: str = DEFAULT_DOTS):
+          dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
     """Canonical limbs uint32[16, B] x3 -> uint32[16, B] (indexed leaf)."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
     rc, _ = _pad(field_rns.from_limbs(c), t_tile)
-    out = _hash_fn("hash3", t_tile, interpret, dots)(ra, rb, rc)
+    out = _hash_fn("hash3", t_tile, interpret, dots, layout)(ra, rb, rc)
     return field_rns.to_limbs(out[:, :nb])

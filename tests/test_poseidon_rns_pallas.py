@@ -65,6 +65,35 @@ def test_pallas_edge_values():
         assert got == hash_fixed(list(trip), PARAMS)
 
 
+def test_pallas_split_layout_parity():
+    """Split layout (no-concat state) must be bit-identical to cat layout:
+    hashes vs the oracle, raw permutation vs the cat kernel."""
+    import jax.numpy as jnp
+
+    xs, ys, zs = _cases(8)
+    la, lb, lc = (field.ints_to_limbs(v) for v in (xs, ys, zs))
+    for dots in ("int8", "bf16"):
+        g3 = field.limbs_to_ints(np.asarray(pk.hash3(
+            la, lb, lc, t_tile=128, interpret=True, dots=dots,
+            layout="split")))
+        assert g3 == [hash_fixed([a, b, c], PARAMS)
+                      for a, b, c in zip(xs, ys, zs)], dots
+    g2 = field.limbs_to_ints(np.asarray(pk.hash2(
+        la, lb, t_tile=128, interpret=True, layout="split")))
+    assert g2 == [hash_fixed([a, b], PARAMS) for a, b in zip(xs, ys)]
+    z = field.ints_to_limbs([0])
+    assert field.limbs_to_ints(np.asarray(pk.hash3(
+        z, z, z, t_tile=128, interpret=True, layout="split")))[0] == ANCHOR
+    # raw chained permutations agree across layouts
+    st = jnp.asarray((np.arange(3 * 48 * 128, dtype=np.uint32)
+                      .reshape(3 * 48, 128) & 0x7FF).astype(np.float32))
+    a = np.asarray(pk.permute_n(st, 2, t_tile=128, interpret=True,
+                                layout="cat"))
+    b = np.asarray(pk.permute_n(st, 2, t_tile=128, interpret=True,
+                                layout="split"))
+    assert (a == b).all()
+
+
 def test_pallas_nonmultiple_batch_padding():
     xs, ys, _ = _cases(5)   # 5 is not a multiple of the tile
     la, lb = field.ints_to_limbs(xs), field.ints_to_limbs(ys)

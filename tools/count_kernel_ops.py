@@ -31,7 +31,7 @@ ELEMWISE = {
 }
 
 
-def census(tile: int, dots: str):
+def census(tile: int, dots: str, layout: str = "cat"):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -42,8 +42,18 @@ def census(tile: int, dots: str):
     (rc_np, mds_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8, cols_np,
      r_f, r_p) = pk._packed()
     lhs1, lhs2 = (lhs1_i8, lhs2_i8) if dots == "int8" else (lhs1_bf, lhs2_bf)
+    n = pk.N_CH // 2
 
     def body(rc, mds_arr, lhs1, lhs2, cols, *words):
+        if layout == "split":
+            redc2, canon2 = pk._make_redc_split(lhs1, lhs2, cols, dots=dots)
+            mds = [[(mds_arr[:n, 3 * i + j:3 * i + j + 1],
+                     mds_arr[n:, 3 * i + j:3 * i + j + 1])
+                    for j in range(3)] for i in range(3)]
+            pairs = [(w[:n], w[n:]) for w in words]
+            out = pk._permutation_split(pairs, redc2, canon2, rc, mds,
+                                        r_f, r_p)
+            return [jnp.concatenate(w) for w in out]
         redc, (q_all, invq_all) = pk._make_redc(lhs1, lhs2, cols, dots=dots)
         canon = lambda x: pk._mod(x, q_all, invq_all)
         mds = [[mds_arr[:, 3 * i + j:3 * i + j + 1] for j in range(3)]
