@@ -36,18 +36,29 @@ from . import field_rns
 from .poseidon_rns import _constants
 
 N_CH = 48          # 2n residue channels
-DEFAULT_TILE = 1024
-# extension-dot flavor: "int8" (7-bit digit blocks on the 2x-rate int8 MXU
-# path; the Kawamura estimate rides the dot as three exact fixed-point rows —
-# see _ext_lhs_i8) or "bf16" (8-bit digit blocks + fused est row).  int8
-# measures ~29% faster than the pre-fusion kernel on the same-day chip.
-DEFAULT_DOTS = "int8"
+# bf16/cat tile sweep (same-day, batch 32768): 512 -> 4.45M, 1024 -> 6.13M,
+# 2048 -> 6.60M, 4096 -> 6.42M perms/s (4096 needs the raised vmem limit).
+DEFAULT_TILE = 2048
+# extension-dot flavor: "bf16" (8-bit digit blocks + fused est row) or
+# "int8" (7-bit digit blocks on the int8 MXU path).  bf16 WINS despite
+# int8's 2x MXU rate: these dots are tiny ([73,48]@[48,3T] — shape-bound,
+# not rate-bound), and the int8 path pays ~72 int32->f32 output converts
+# per redc on the VPU (invisible to the op census, ~25% measured).
+# Same-day A/B at tile 1024, batch 32768: bf16 6.13M vs int8 4.86M perms/s.
+DEFAULT_DOTS = "bf16"
 # state layout inside the kernel: "cat" keeps each word as one [48, T] array
 # and concatenates the three words to [48, 3T] for full-width reductions;
 # "split" keeps six [24, T] arrays (3 words x 2 RNS halves) so NO concatenate
 # or channel-slice is ever materialized in the round loop (census: ~10% of
-# VPU elementwise work in "cat" is concat traffic).  Bit-exact either way;
-# the A/B lives in bench.py via IMT_PALLAS_LAYOUT.
+# VPU elementwise work in "cat" is concat traffic); "v0" is the cat layout
+# with the PRE-fusion round structure (ARC added at the redc tail as an rc
+# broadcast, unfolded k1/M1-form tables); "v0e"/"v0x" are v0 with the
+# Kawamura alpha as an early VPU reduction (v0x also: 72-row lhs, two-mod
+# combine — the exact pre-fusion extension).  All value-exact (canonical
+# limbs identical at every hash boundary; raw RNS representatives may differ
+# between est flavors at margin-window inputs).  Same-day A/B, tile 1024,
+# batch 32768, bf16 dots: cat 6.13M > v0 6.06M; int8 dots: cat 4.86 > v0
+# 4.56 > v0e 4.35 > v0x 4.27 > split 3.36M perms/s.
 DEFAULT_LAYOUT = "cat"
 
 
@@ -151,6 +162,24 @@ def _packed():
             cols, r_f, r_p)
 
 
+@lru_cache(maxsize=None)
+def _packed_v0():
+    """Constants for the v0 (pre-fusion) round structure: rc in plain
+    Montgomery M1-form for every round (added at the redc TAIL, i.e. to the
+    already-reduced state), mds residues unscaled (no k1 folding)."""
+    c = default_consts()
+    rc, mds, iv0, one, r_f, r_p = _constants()
+    n_rounds = rc.shape[0]
+    rc_k = np.zeros((N_CH, n_rounds * 128), np.float32)
+    for r in range(n_rounds):
+        for j in range(3):
+            rc_k[:, 128 * r + j] = rc[r, :, j, 0]
+    mds_k = np.ascontiguousarray(
+        mds[..., 0].transpose(1, 2, 0)).reshape(-1, N_CH).T.copy()
+    base = _packed()
+    return (rc_k, mds_k.astype(np.float32)) + base[2:]
+
+
 # ---------------------------------------------------------------------------
 # In-kernel ops (arrays, not refs; all shapes [48 or 24, X])
 # ---------------------------------------------------------------------------
@@ -159,17 +188,27 @@ def _mod(x, q, invq):
     return x - q * jnp.floor(x * invq)
 
 
-def _extend_i8(sig, lhs_i8, q, invq, neg_m, delta, clamp):
-    """int8-MXU base extension.  sig: [n_in, X] quasi-canonical; the alpha
-    estimate rides the integer dot as three fixed-point rows (see
-    _ext_lhs_i8) — no VPU cross-sublane reduction.
+def _extend_i8(sig, lhs_i8, q, invq, neg_m, delta, clamp, invq_in=None):
+    """int8-MXU base extension.  sig: [n_in, X] quasi-canonical.
 
-    The three digit-block rows combine as hi = s2*128 + s1 in int32 BEFORE
-    the first mod (value = hi*2^7 + s0): hi <= 24*(18*18*128 + 18*127*2)
+    Alpha estimate: with invq_in=None it rides the integer dot as three
+    fixed-point rows (see _ext_lhs_i8) — no VPU cross-sublane reduction,
+    but alpha then DEPENDS on the dot result.  With invq_in ([n_in, 1]
+    f32 reciprocals) it is an early VPU sublane reduction of the inputs,
+    f32-precise (error << the ±1/4 margins), issued BEFORE the dot so the
+    VPU reduction overlaps the MXU — measured faster despite more VPU ops.
+
+    The digit-block rows combine as hi = s2*128 + s1 in int32 BEFORE the
+    first mod (value = hi*2^7 + s0): hi <= 24*(18*18*128 + 18*127*2)
     = 1,105,056 < 2^24, so one mod replaces the former two and the f32 cast
     of hi is exact."""
     s1 = jnp.floor(sig * (1.0 / 128.0))
     s0 = sig - 128.0 * s1
+    if invq_in is not None:
+        est = jnp.sum(sig * invq_in, axis=0, keepdims=True)    # [1, X]
+        alpha = jnp.floor(est + delta)
+        if clamp:
+            alpha = jnp.maximum(alpha, 0.0)
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.int8)
     out = jax.lax.dot_general(lhs_i8, rhs, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -179,13 +218,37 @@ def _extend_i8(sig, lhs_i8, q, invq, neg_m, delta, clamp):
     hi = out[:n].astype(jnp.float32) * 128.0 + out[n:2 * n].astype(
         jnp.float32)
     s0f = out[2 * n:3 * n].astype(jnp.float32)
-    e = out[3 * n:3 * n + 3].astype(jnp.float32)             # [3, X]
-    est = (e[0:1] * 16384.0 + e[1:2] * 128.0 + e[2:3]) * (1.0 / 2097152.0)
+    if invq_in is None:
+        e = out[3 * n:3 * n + 3].astype(jnp.float32)         # [3, X]
+        est = (e[0:1] * 16384.0 + e[1:2] * 128.0 + e[2:3]) * (1.0 / 2097152.0)
+        alpha = jnp.floor(est + delta)
+        if clamp:
+            alpha = jnp.maximum(alpha, 0.0)
+    # total <= (q+2)*128 + 24*127^2 + 24*q < 2^20 (exact f32)
+    total = _mod(hi, q, invq) * 128.0 + s0f + alpha * neg_m
+    return _mod(total, q, invq)
+
+
+def _extend_i8_x(sig, lhs_i8, c14, q, invq, neg_m, invq_in, delta, clamp):
+    """int8-MXU base extension, pre-fusion flavor (layout v0x): 72-row lhs
+    (no est rows — int8 VMEM sublane tiles are 32 high, so 72 rows fit 3
+    tiles with only 24 rows of pad vs 75->96), early VPU-sum alpha that
+    overlaps the dot, and the original two-mod c14 digit combine."""
+    s1 = jnp.floor(sig * (1.0 / 128.0))
+    s0 = sig - 128.0 * s1
+    est = jnp.sum(sig * invq_in, axis=0, keepdims=True)      # [1, X]
     alpha = jnp.floor(est + delta)
     if clamp:
         alpha = jnp.maximum(alpha, 0.0)
-    # total <= (q+2)*128 + 24*127^2 + 24*q < 2^20 (exact f32)
-    total = _mod(hi, q, invq) * 128.0 + s0f + alpha * neg_m
+    rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.int8)
+    out = jax.lax.dot_general(lhs_i8, rhs, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    n = out.shape[0] // 3
+    s2f = out[:n].astype(jnp.float32)
+    s1f = out[n:2 * n].astype(jnp.float32)
+    s0f = out[2 * n:].astype(jnp.float32)
+    total = (_mod(s2f, q, invq) * c14 + _mod(s1f, q, invq) * 128.0 + s0f
+             + alpha * neg_m)
     return _mod(total, q, invq)
 
 
@@ -305,6 +368,120 @@ def _permutation(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
 
 
 # ---------------------------------------------------------------------------
+# v0 variant: the pre-fusion round structure.  ARC is added at the redc TAIL
+# (one extra _mod on each 24-channel half when rc is given), the Kawamura
+# digit scaling sig = w1*k1 mod q1 is explicit (tables unfolded), and every
+# round's rc is broadcast to [48, 3T] before the reduction.  More census ops
+# than the "cat" diet, but the adds ride FMAs and Mosaic schedules this
+# structure measurably faster (see DEFAULT_LAYOUT note).  Arithmetic bounds
+# as in _make_redc; the tail adds stay < 2*q+2 < 2^13 above quasi-canonical,
+# far inside the exact f32 floor-mod range.
+# ---------------------------------------------------------------------------
+
+def _make_redc_v0(lhs1, lhs2, cols, dots: str = "bf16", est: str = "dot"):
+    """Bind constants; returns redc(w [48, X], rc [48, X or 1] | None).
+    est="vpu" (int8 dots only) computes the Kawamura alpha as an early
+    VPU sublane reduction that overlaps the MXU dot (see _extend_i8)."""
+    n = N_CH // 2
+    q_all, invq_all = cols[:, 0:1], cols[:, 1:2]
+    q1, invq1 = q_all[:n], invq_all[:n]
+    q2, invq2 = q_all[n:], invq_all[n:]
+    k1 = cols[:n, 2:3]
+    c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
+    neg_m1, neg_m2 = cols[:n, 7:8], cols[:n, 9:10]
+    ext = _extend_i8 if dots == "int8" else _extend
+    lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
+    lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
+    if est == "x" and dots == "int8":
+        c14_b2, c14_b1 = cols[:n, 12:13], cols[:n, 13:14]
+        ext1 = lambda sig: _extend_i8_x(sig, lhs1_b, c14_b2, q2, invq2,
+                                        neg_m1, invq1, -0.25, True)
+        ext2 = lambda tau: _extend_i8_x(tau, lhs2_b, c14_b1, q1, invq1,
+                                        neg_m2, invq2, 0.5, False)
+    elif est == "vpu" and dots == "int8":
+        ext1 = lambda sig: ext(sig, lhs1_b, q2, invq2, neg_m1, -0.25, True,
+                               invq_in=invq1)
+        ext2 = lambda tau: ext(tau, lhs2_b, q1, invq1, neg_m2, 0.5, False,
+                               invq_in=invq2)
+    else:
+        ext1 = lambda sig: ext(sig, lhs1_b, q2, invq2, neg_m1, -0.25, True)
+        ext2 = lambda tau: ext(tau, lhs2_b, q1, invq1, neg_m2, 0.5, False)
+
+    def redc(w, rc=None):
+        wq = _mod(w, q_all, invq_all)
+        w1, w2 = wq[:n], wq[n:]
+        sig = _mod(w1 * k1, q1, invq1)
+        s_ext = ext1(sig)
+        tau = _mod(w2 * c1 + s_ext * c2, q2, invq2)
+        z2_raw = tau * e2
+        z1 = ext2(tau)
+        if rc is not None:
+            z1 = _mod(z1 + rc[:n], q1, invq1)
+            z2_raw = z2_raw + rc[n:]
+        z2 = _mod(z2_raw, q2, invq2)
+        return jnp.concatenate([z1, z2], axis=0)
+
+    return redc, (q_all, invq_all)
+
+
+def _permutation_v0(words, redc, canon, rc_ref, mds, r_f, r_p, t_tile):
+    """Pre-fusion permutation on three [48, T] words: ARC rides the redc
+    tail, so every mds_redc takes the round's rc broadcast to [48, 3T]."""
+    half = r_f // 2
+    n_rounds = r_f + r_p
+
+    def rc_row(r):
+        return [rc_ref[:, 128 * r + j:128 * r + j + 1] for j in range(3)]
+
+    def rc_cat(r):
+        return jnp.concatenate(
+            [jnp.broadcast_to(rc_ref[:, 128 * r + j:128 * r + j + 1],
+                              (N_CH, t_tile)) for j in range(3)], axis=1)
+
+    rc0 = rc_row(0)
+    words = [canon(w + rc0[j]) for j, w in enumerate(words)]
+
+    def sbox_cat(cat):
+        x2 = redc(cat * cat)
+        x4 = redc(x2 * x2)
+        return redc(x4 * cat)
+
+    def mds_redc(cat, rc_c):
+        ws = [cat[:, j * t_tile:(j + 1) * t_tile] for j in range(3)]
+        rows = [mds[i][0] * ws[0] + mds[i][1] * ws[1] + mds[i][2] * ws[2]
+                for i in range(3)]
+        return redc(jnp.concatenate(rows, axis=1), rc_c)
+
+    cat = jnp.concatenate(words, axis=1)      # [48, 3T]
+
+    for r in range(1, half + 1):
+        cat = mds_redc(sbox_cat(cat), rc_cat(r))
+
+    def partial_body(ri, cat):
+        r = half + 1 + ri
+        x0 = cat[:, :t_tile]
+        x2 = redc(x0 * x0)
+        x4 = redc(x2 * x2)
+        x5 = redc(x4 * x0)
+        cat = jnp.concatenate([x5, cat[:, t_tile:]], axis=1)
+        blk = rc_ref[:, pl.ds(pl.multiple_of(128 * r, 128), 128)]
+        rc_c = jnp.concatenate(
+            [jnp.broadcast_to(blk[:, j:j + 1], (N_CH, t_tile))
+             for j in range(3)], axis=1)
+        return mds_redc(cat, rc_c)
+
+    cat = jax.lax.fori_loop(0, r_p, partial_body, cat)
+
+    for k in range(half):
+        r = half + 1 + r_p + k
+        rc_c = rc_cat(r) if r < n_rounds else jnp.zeros(
+            (N_CH, 3 * t_tile), jnp.float32)
+        cat = mds_redc(sbox_cat(cat), rc_c)
+
+    return [cat[:, j * t_tile:(j + 1) * t_tile] for j in range(3)]
+
+
+# ---------------------------------------------------------------------------
 # Split-layout variant: state as (B1 half, B2 half) pairs of [24, X] arrays.
 # Identical arithmetic op-for-op with _make_redc/_permutation (same mods, same
 # dots, same proven bounds) — only the data layout changes: the B1/B2 channel
@@ -403,7 +580,10 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
                  layout: str = DEFAULT_LAYOUT):
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
     (rc_np, mds_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8, cols_np,
-     r_f, r_p) = _packed()
+     r_f, r_p) = _packed_v0() if layout.startswith("v0") else _packed()
+    if layout == "v0x" and dots == "int8":
+        # drop the 3 est rows: 72-row lhs fills int8 sublane tiles cleanly
+        lhs1_i8, lhs2_i8 = lhs1_i8[:-3], lhs2_i8[:-3]
     lhs1_np, lhs2_np = (lhs1_i8, lhs2_i8) if dots == "int8" else \
         (lhs1_bf, lhs2_bf)
     n = N_CH // 2
@@ -421,6 +601,16 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
                           rc_ref=rc_ref, mds=mds, r_f=r_f, r_p=r_p)
             split = lambda x: (x[:n], x[n:])
             padd = lambda w, c: (w[0] + c[0], w[1] + c[1])
+        elif layout in ("v0", "v0e", "v0x"):
+            redc, (q_all, invq_all) = _make_redc_v0(
+                lhs1, lhs2, cols, dots=dots,
+                est={"v0e": "vpu", "v0x": "x"}.get(layout, "dot"))
+            canon = lambda x: _mod(x, q_all, invq_all)
+            mds = [[mds_arr[:, 3 * i + j:3 * i + j + 1] for j in range(3)]
+                   for i in range(3)]
+            run = partial(_permutation_v0, redc=redc, canon=canon,
+                          rc_ref=rc_ref, mds=mds, r_f=r_f, r_p=r_p,
+                          t_tile=t_tile)
         else:
             redc, (q_all, invq_all) = _make_redc(lhs1, lhs2, cols, dots=dots)
             canon = lambda x: _mod(x, q_all, invq_all)
@@ -512,6 +702,8 @@ def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct(st.shape, jnp.float32),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
         )(*[jnp.asarray(c) for c in consts], st)
 
     return f
@@ -544,6 +736,8 @@ def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16",
             out_specs=io_spec,
             out_shape=jax.ShapeDtypeStruct((N_CH, b), jnp.float32),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
         )(*[jnp.asarray(c) for c in consts], *args)
 
     return f

@@ -65,9 +65,20 @@ def test_pallas_edge_values():
         assert got == hash_fixed(list(trip), PARAMS)
 
 
-def test_pallas_split_layout_parity():
-    """Split layout (no-concat state) must be bit-identical to cat layout:
-    hashes vs the oracle, raw permutation vs the cat kernel."""
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["split", "v0", "v0e", "v0x"])
+def test_pallas_layout_parity(layout):
+    """Every alternate layout (split = no-concat state, v0* = pre-fusion
+    round structure with dot/vpu/x estimate flavors) must agree with the
+    cat layout at the CANONICAL-LIMB level: hashes vs the oracle, and
+    permutation outputs after to_limbs.  Raw RNS residues may differ
+    between est flavors: at margin-window inputs the Kawamura alpha can
+    legally differ by 1 (each flavor's margins are proven), changing the
+    quasi-canonical representative but not the value mod p — and every
+    public boundary (hash2/hash3, tree levels) canonicalizes via
+    to_limbs, so limb-level bit-exactness is the binding contract."""
     import jax.numpy as jnp
 
     xs, ys, zs = _cases(8)
@@ -75,23 +86,27 @@ def test_pallas_split_layout_parity():
     for dots in ("int8", "bf16"):
         g3 = field.limbs_to_ints(np.asarray(pk.hash3(
             la, lb, lc, t_tile=128, interpret=True, dots=dots,
-            layout="split")))
+            layout=layout)))
         assert g3 == [hash_fixed([a, b, c], PARAMS)
                       for a, b, c in zip(xs, ys, zs)], dots
     g2 = field.limbs_to_ints(np.asarray(pk.hash2(
-        la, lb, t_tile=128, interpret=True, layout="split")))
+        la, lb, t_tile=128, interpret=True, layout=layout)))
     assert g2 == [hash_fixed([a, b], PARAMS) for a, b in zip(xs, ys)]
     z = field.ints_to_limbs([0])
     assert field.limbs_to_ints(np.asarray(pk.hash3(
-        z, z, z, t_tile=128, interpret=True, layout="split")))[0] == ANCHOR
-    # raw chained permutations agree across layouts
+        z, z, z, t_tile=128, interpret=True, layout=layout)))[0] == ANCHOR
+    # chained permutations agree across layouts at the canonical-limb level
+    from imt_tpu.ops import field_rns
     st = jnp.asarray((np.arange(3 * 48 * 128, dtype=np.uint32)
                       .reshape(3 * 48, 128) & 0x7FF).astype(np.float32))
     a = np.asarray(pk.permute_n(st, 2, t_tile=128, interpret=True,
                                 layout="cat"))
     b = np.asarray(pk.permute_n(st, 2, t_tile=128, interpret=True,
-                                layout="split"))
-    assert (a == b).all()
+                                layout=layout))
+    for j in range(3):
+        la = np.asarray(field_rns.to_limbs(jnp.asarray(a[48*j:48*(j+1)])))
+        lb = np.asarray(field_rns.to_limbs(jnp.asarray(b[48*j:48*(j+1)])))
+        assert (la == lb).all(), (layout, j)
 
 
 def test_pallas_nonmultiple_batch_padding():
