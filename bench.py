@@ -295,7 +295,7 @@ def main() -> None:
                     choices=["rns", "pallas", "pallas-chain", "mxu", "int",
                              "scan"],
                     default="pallas")
-    ap.add_argument("--batch", type=int, default=1 << 15)
+    ap.add_argument("--batch", type=int, default=1 << 16)
     args = ap.parse_args()
 
     if args.oracle:
