@@ -592,14 +592,24 @@ class IndexedMerkleTree:
         ni = field.limbs_to_int(np.asarray(self.next_idxs)[:, index])
         return (v, nv, ni)
 
-    def non_inclusion_witness(self, values) -> NonInclusionWitness:
+    def non_inclusion_witness(self, values,
+                              as_numpy: bool = True) -> NonInclusionWitness:
         """Batched non-membership witnesses for `values` (prover side of
         the standalone verify_non_inclusion predicate).  ok=False lanes mean
-        the value is present (or 0) — no witness exists."""
-        k = len(values)
+        the value is present (or 0) — no witness exists.
+
+        `values` is a list of python ints or a pre-packed canonical limb
+        array uint32[16, K].  as_numpy=False leaves every witness field on
+        device (jnp arrays) so a downstream jitted consumer (e.g.
+        verify_non_inclusion) can chain without a host round trip — through
+        the axon tunnel the default host transfer costs more than the
+        witness computation itself."""
+        queries, k = _as_limb_batch(values)
         f = _non_inclusion_witness_fn(self.tree_depth, k, self.tree_depth)
-        queries = jnp.asarray(field.ints_to_limbs([int(v) for v in values]))
-        w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
+        w = f(self.vals, self.next_vals, self.next_idxs, self.levels,
+              jnp.asarray(queries))
+        if not as_numpy:
+            return NonInclusionWitness(**w)
         return NonInclusionWitness(ok=np.asarray(w["ok"]), **{
             key: v for key, v in w.items() if key != "ok"})
 
