@@ -296,7 +296,11 @@ def main() -> None:
     ap.add_argument("--engine",
                     choices=["rns", "pallas", "pallas-chain", "mxu", "int",
                              "scan"],
-                    default="pallas")
+                    # chain: K perms per kernel, state VMEM-resident — the
+                    # shape real tree hashing uses (hash2/hash3 chain 2 perms
+                    # in-kernel); rate from the (K2-K1) slope as ever.
+                    # Same-day: chain 7.09M vs per-perm-io 6.83M.
+                    default="pallas-chain")
     ap.add_argument("--batch", type=int, default=1 << 16)
     args = ap.parse_args()
 
