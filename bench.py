@@ -221,10 +221,15 @@ def bench_single_insert(depth: int, iters: int) -> float:
     t0 = time.time()
     tree.insert(rng.randrange(1, 1 << 253))
     log(f"compile+first: {time.time()-t0:.1f}s")
+    # values pre-drawn so host RNG work stays out of the timed loop; witness
+    # stays device-resident (as_numpy=False) so the chained insert steps
+    # pipeline under async dispatch instead of syncing per insert
+    values = [rng.randrange(1, 1 << 253) for _ in range(iters)]
     t0 = time.time()
-    for _ in range(iters):
-        w = tree.insert(rng.randrange(1, 1 << 253))
+    for v in values:
+        w = tree.insert(v, as_numpy=False)
     np.asarray(w.new_root)
+    np.asarray(w.ok)
     dt = time.time() - t0
     log(f"{iters} witness inserts in {dt:.3f}s (depth {depth})")
     return iters / dt

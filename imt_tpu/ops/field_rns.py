@@ -94,6 +94,13 @@ class RnsDeviceConsts:
         self.c16_b1 = _col(np.array([(1 << 16) % int(q) for q in s.q1]))
         self.ext1_lhs = _ext_lhs(s.a1, s.q1.astype(np.float64))
         self.ext2_lhs = _ext_lhs(s.a2, s.q2.astype(np.float64))
+        # c2-fold: ext1 lhs digit blocks (and -M1) pre-scaled by c2 per
+        # output channel, so redc's tau step consumes ext1's RAW tail and
+        # ext1's final mod + the s_ext*c2 multiply disappear (value-exact
+        # congruence; bound: w2*c1 + raw < 5.6M + 6.8M < 2^23.6).
+        self.ext1_lhs_c2 = _ext_lhs((s.a1 * s.c2[:, None]) % s.q2[:, None],
+                                    s.q1.astype(np.float64))
+        self.neg_m1c2 = _col((s.neg_m1 * s.c2) % s.q2)
 
         # input conversion: canonical 8-bit digits -> w residues of
         # x * M1^2 mod p  (one redc away from Montgomery form)
@@ -162,13 +169,15 @@ def _split_digits(sig):
 
 
 def _extend(sig, lhs_np, c16_col, q_col, invq_col, neg_m_col, delta: float,
-            clamp: bool, rc=None):
+            clamp: bool, rc=None, raw: bool = False):
     """One Kawamura base extension: sigma [n_in, *b] -> residues [n_out, *b].
 
     delta: alpha = floor(est + delta) (delta=-0.25 underestimates for ext1,
     +0.5 is exact for ext2).  clamp: max(alpha, 0) (ext1 only).
     rc (optional, broadcastable [n_out, ...]): fused ARC add before the
-    final mod — pre-mod total < 2^23.8 and rc < 2^11.3, still exact f32."""
+    final mod — pre-mod total < 2^23.8 and rc < 2^11.3, still exact f32.
+    raw=True returns the pre-final-mod total (< 6.8M = 2^22.7) for callers
+    that fold it into their own following mod (c2-folded ext1)."""
     s1, s0 = _split_digits(sig)
     out = _dot(lhs_np, jnp.concatenate([s1, s0], axis=0))
     n_out = (out.shape[0] - 1) // 3
@@ -180,6 +189,8 @@ def _extend(sig, lhs_np, c16_col, q_col, invq_col, neg_m_col, delta: float,
     m1b = mod_q(s1_blk, q_col, invq_col)
     total = (s2_blk * _b(c16_col, s2_blk) + m1b * 256.0 + s0_blk
              + alpha[None] * _b(neg_m_col, s2_blk))
+    if raw:
+        return total
     if rc is not None:
         total = total + rc
     return mod_q(total, q_col, invq_col)
@@ -204,11 +215,13 @@ def redc(w, rc=None, consts: RnsDeviceConsts | None = None):
 
     # Kawamura digits of s = -W p^{-1} mod M1 (fold: npi * invE1)
     sig = mod_q(w1 * _b(c.k1, w1), c.q_all[:n], c.invq_all[:n])
-    s_ext = _extend(sig, c.ext1_lhs, c.c16_b2, c.q_all[n:], c.invq_all[n:],
-                    c.neg_m1, -0.25, clamp=True)
+    # c2-folded ext1: raw tail already carries the *c2 factor; its final
+    # mod and the s_ext*c2 multiply ride tau's mod (see RnsDeviceConsts)
+    s_raw = _extend(sig, c.ext1_lhs_c2, c.c16_b2, c.q_all[n:],
+                    c.invq_all[n:], c.neg_m1c2, -0.25, clamp=True, raw=True)
 
     # tau = z * (M2/q)^{-1} mod q  where z = (W + s_ext*p)/M1
-    t = w2 * _b(c.c1, w2) + s_ext * _b(c.c2, s_ext)
+    t = w2 * _b(c.c1, w2) + s_raw
     tau = mod_q(t, c.q_all[n:], c.invq_all[n:])
 
     z2_raw = tau * _b(c.e2, tau)

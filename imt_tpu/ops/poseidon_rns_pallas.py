@@ -153,13 +153,26 @@ def _packed():
     cols[:n, 12] = [(1 << 14) % int(q) for q in c.spec.q2]   # c14 (ext1 out)
     cols[:n, 13] = [(1 << 14) % int(q) for q in c.spec.q1]   # c14 (ext2 out)
     from .rns_spec import default_rns
+    from .field_rns import _ext_lhs
     spec = default_rns()
     invq1 = 1.0 / np.asarray(spec.q1, np.float64)
     invq2 = 1.0 / np.asarray(spec.q2, np.float64)
+    # c2-fold (bf16 path): ext1's lhs rows are pre-scaled by c2 per OUTPUT
+    # channel (a1[j,k] -> a1[j,k]*c2[j] mod q2[j], likewise -M1), so the
+    # extension's raw combine already carries the s_ext*c2 factor of the
+    # tau step and its final mod folds into tau's mod.  Value-exact: both
+    # orders are congruent mod q2 and tau's floor-mod re-canonicalizes
+    # (engines compare canonical limbs, not raw residues).  Bound:
+    # w2q*c1 + s_raw < 5.56M + 2.2M < 2^23 (exact f32).
+    a1c2 = (spec.a1 * spec.c2[:, None]) % spec.q2[:, None]
+    cols2 = np.zeros((N_CH, 15), np.float32)
+    cols2[:, :14] = cols
+    cols2[:n, 14] = (spec.neg_m1 * spec.c2) % spec.q2   # (-M1*c2) mod q2
     return (rc_k.astype(np.float32), mds_k.astype(np.float32),
-            c.ext1_lhs.astype(np.float32), c.ext2_lhs.astype(np.float32),
+            _ext_lhs(a1c2, spec.q1.astype(np.float64)).astype(np.float32),
+            c.ext2_lhs.astype(np.float32),
             _ext_lhs_i8(spec.a1, invq1), _ext_lhs_i8(spec.a2, invq2),
-            cols, r_f, r_p)
+            cols2, r_f, r_p)
 
 
 @lru_cache(maxsize=None)
@@ -177,7 +190,9 @@ def _packed_v0():
     mds_k = np.ascontiguousarray(
         mds[..., 0].transpose(1, 2, 0)).reshape(-1, N_CH).T.copy()
     base = _packed()
-    return (rc_k, mds_k.astype(np.float32)) + base[2:]
+    # v0's redc applies c2 explicitly — it needs the UNFOLDED ext1 lhs
+    return (rc_k, mds_k.astype(np.float32),
+            c.ext1_lhs.astype(np.float32)) + base[3:]
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +288,25 @@ def _extend(sig, lhs, q, invq, neg_m, delta, clamp):
     return _mod(total, q, invq)
 
 
+def _extend_nf(sig, lhs, q, invq, neg_m, delta, clamp):
+    """Kawamura base extension, RAW tail: same as _extend but the lhs digit
+    blocks (and neg_m) are pre-scaled by a per-output-channel constant
+    (c2-fold, see _packed) and the final mod is OMITTED — the caller folds
+    the raw total (< 2^21.1, same bound as _extend's pre-mod value) into
+    its own following mod.  Saves one 24-channel mod + 24 muls per redc."""
+    s1 = jnp.floor(sig * (1.0 / 256.0))
+    s0 = sig - 256.0 * s1
+    rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.bfloat16)
+    out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    n = (out.shape[0] - 1) // 3
+    est = out[3 * n:3 * n + 1]
+    alpha = jnp.floor(est + delta)
+    if clamp:
+        alpha = jnp.maximum(alpha, 0.0)
+    hi = out[:n] * 256.0 + out[n:2 * n]
+    return _mod(hi, q, invq) * 256.0 + out[2 * n:3 * n] + alpha * neg_m
+
+
 def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
     """Bind constants; cols: [48, 14] channel-major column table.
     Returns redc(w [48, X]).  Round-constant adds are NOT fused here any
@@ -284,11 +318,27 @@ def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
     k1 = cols[:n, 2:3]
     c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
     neg_m1, neg_m2 = cols[:n, 7:8], cols[:n, 9:10]
-    ext = _extend_i8 if dots == "int8" else _extend
     lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
     lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
-    ext1 = lambda sig: ext(sig, lhs1_b, q2, invq2, neg_m1, -0.25, True)
-    ext2 = lambda tau: ext(tau, lhs2_b, q1, invq1, neg_m2, 0.5, False)
+    if dots == "int8":
+        ext1 = lambda sig: _extend_i8(sig, lhs1_b, q2, invq2, neg_m1,
+                                      -0.25, True)
+        ext2 = lambda tau: _extend_i8(tau, lhs2_b, q1, invq1, neg_m2,
+                                      0.5, False)
+
+        def tau_of(w2q, sig):
+            return _mod(w2q * c1 + ext1(sig) * c2, q2, invq2)
+    else:
+        # bf16: lhs1 is c2-folded (see _packed) — ext1 returns the raw
+        # tail and its final mod + the *c2 mul ride tau's mod.
+        neg_m1c2 = cols[:n, 14:15]
+        ext2 = lambda tau: _extend(tau, lhs2_b, q1, invq1, neg_m2,
+                                   0.5, False)
+
+        def tau_of(w2q, sig):
+            s_raw = _extend_nf(sig, lhs1_b, q2, invq2, neg_m1c2,
+                               -0.25, True)
+            return _mod(w2q * c1 + s_raw, q2, invq2)
 
     def redc(w, digits_ready: bool = False):
         """digits_ready: the caller pre-scaled the B1 half by k1 (MDS-fed
@@ -297,8 +347,7 @@ def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
         wq = _mod(w, q_all, invq_all)
         w1, w2 = wq[:n], wq[n:]
         sig = w1 if digits_ready else _mod(w1 * k1, q1, invq1)
-        s_ext = ext1(sig)
-        tau = _mod(w2 * c1 + s_ext * c2, q2, invq2)
+        tau = tau_of(w2, sig)
         z1 = ext2(tau)
         z2 = _mod(tau * e2, q2, invq2)
         return jnp.concatenate([z1, z2], axis=0)
@@ -499,18 +548,26 @@ def _make_redc_split(lhs1, lhs2, cols, dots: str = "bf16"):
     k1 = cols[:n, 2:3]
     c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
     neg_m1, neg_m2 = cols[:n, 7:8], cols[:n, 9:10]
-    ext = _extend_i8 if dots == "int8" else _extend
     lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
     lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
-    ext1 = lambda sig: ext(sig, lhs1_b, q2, invq2, neg_m1, -0.25, True)
+    if dots == "int8":
+        ext1 = lambda sig: _extend_i8(sig, lhs1_b, q2, invq2, neg_m1,
+                                      -0.25, True)
+        tau_of = lambda w2q, sig: _mod(w2q * c1 + ext1(sig) * c2, q2, invq2)
+    else:
+        # bf16: c2-folded lhs1 (see _packed/_make_redc)
+        neg_m1c2 = cols[:n, 14:15]
+        tau_of = lambda w2q, sig: _mod(
+            w2q * c1 + _extend_nf(sig, lhs1_b, q2, invq2, neg_m1c2,
+                                  -0.25, True), q2, invq2)
+    ext = _extend_i8 if dots == "int8" else _extend
     ext2 = lambda tau: ext(tau, lhs2_b, q1, invq1, neg_m2, 0.5, False)
 
     def redc2(w1, w2, digits_ready: bool = False):
         w1q = _mod(w1, q1, invq1)
         w2q = _mod(w2, q2, invq2)
         sig = w1q if digits_ready else _mod(w1q * k1, q1, invq1)
-        s_ext = ext1(sig)
-        tau = _mod(w2q * c1 + s_ext * c2, q2, invq2)
+        tau = tau_of(w2q, sig)
         return ext2(tau), _mod(tau * e2, q2, invq2)
 
     def canon2(w):

@@ -615,8 +615,12 @@ class IndexedMerkleTree:
 
     # -- mutation ------------------------------------------------------------
 
-    def insert(self, value: int) -> InsertWitness:
-        """Sequential insert with full witness bundle (reference parity)."""
+    def insert(self, value: int, as_numpy: bool = True) -> InsertWitness:
+        """Sequential insert with full witness bundle (reference parity).
+
+        as_numpy=False keeps the whole witness (incl. `ok`) device-resident
+        so chained inserts pipeline under async dispatch — no per-insert
+        host sync.  Callers then materialize when they need the values."""
         if self.count + 1 >= self.num_slots:
             raise ValueError("tree full")
         step = _insert_step_fn(self.tree_depth)
@@ -625,6 +629,8 @@ class IndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_val, jnp.int32(self.count))
         self.count += 1
+        if not as_numpy:
+            return InsertWitness(**w)
         return InsertWitness(ok=np.asarray(w["ok"]), **{
             k: v for k, v in w.items() if k != "ok"})
 

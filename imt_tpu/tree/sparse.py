@@ -101,8 +101,11 @@ class SparseIndexedMerkleTree:
 
     # -- mutation ------------------------------------------------------------
 
-    def insert(self, value: int) -> InsertWitness:
-        """Sequential insert; witness proofs/roots are FULL tree depth."""
+    def insert(self, value: int, as_numpy: bool = True) -> InsertWitness:
+        """Sequential insert; witness proofs/roots are FULL tree depth.
+
+        as_numpy=False keeps the witness device-resident (async-dispatch
+        pipelining across chained inserts — see IndexedMerkleTree.insert)."""
         if self.count + 1 >= (1 << self.tree_depth):
             raise ValueError("tree full")
         self._grow_to(self.count + 2)
@@ -112,6 +115,8 @@ class SparseIndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_val, jnp.int32(self.count))
         self.count += 1
+        if not as_numpy:
+            return InsertWitness(**w)
         return InsertWitness(ok=np.asarray(w["ok"]), **{
             k: v for k, v in w.items() if k != "ok"})
 
