@@ -103,3 +103,23 @@ def test_sparse_growth_and_checkpoint():
     t3 = checkpoint.load(path)
     assert isinstance(t3, SparseIndexedMerkleTree)
     assert t3.get_root_int() == t.get_root_int()
+
+
+def test_insert_device_resident_witness():
+    """insert(as_numpy=False) keeps the witness on device (no host sync)
+    and produces the identical tree state as the default path."""
+    import jax.numpy as jnp
+
+    a = SparseIndexedMerkleTree(depth=8, initial_capacity_log2=2)
+    b = SparseIndexedMerkleTree(depth=8, initial_capacity_log2=2)
+    last = None
+    for v in [30, 10, 20, 5, 50, 35]:
+        last = a.insert(v, as_numpy=False)
+        b.insert(v)
+    assert isinstance(last.ok, jnp.ndarray)
+    assert bool(np.asarray(last.ok)[0])
+    assert a.get_root_int() == b.get_root_int()
+    # duplicate still rejected through the device-resident path
+    w = a.insert(20, as_numpy=False)
+    assert not bool(np.asarray(w.ok)[0])
+    assert a.get_root_int() == b.get_root_int()
