@@ -76,6 +76,72 @@ def hash3(a, b, c):
     return _mod(a.shape[-1]).hash3(a, b, c)
 
 
+# ---------------------------------------------------------------------------
+# Node representation — engine-native Merkle node storage.
+#
+# Tree code stores interior nodes (hash outputs) in the hash engine's native
+# representation and hashes node->node WITHOUT converting through canonical
+# limbs: for the rns/pallas engines that is Montgomery-domain RNS residues
+# f32[48, B], so the per-level to_limbs (a full CRT reconstruction + digit
+# carry normalization, comparable in cost to a permutation) and from_limbs
+# disappear from every tree walk.  For the cios engine the representation IS
+# canonical limbs (identity).  Conversions happen only at witness/API
+# boundaries (roots, proofs, checkpoints).
+#
+# Representations are interchangeable across rns<->pallas dispatch (both are
+# quasi-canonical Montgomery residues; values mod p are exact even where raw
+# representatives differ), but NOT across a cios<->rns backend switch —
+# hashing.set_backend must be called before building trees (as documented
+# above: jitted tree steps cache the engine they were traced with).
+# ---------------------------------------------------------------------------
+
+def node_repr() -> str:
+    """The active node representation: "rns" (f32[48, B] Montgomery
+    residues) or "limbs" (canonical uint32[16, B])."""
+    return "limbs" if backend() == "cios" else "rns"
+
+
+def enc_nodes(limbs):
+    """Canonical limbs uint32[16, B] -> node representation."""
+    if node_repr() == "limbs":
+        return limbs
+    from . import field_rns
+    return field_rns.from_limbs(limbs)
+
+
+def dec_nodes(nodes):
+    """Node representation -> canonical limbs uint32[16, B]."""
+    if node_repr() == "limbs":
+        return nodes
+    from . import field_rns
+    return field_rns.to_limbs(nodes)
+
+
+def hash2_nodes(a, b):
+    """Batched 2-to-1 hash, node representation in AND out."""
+    if node_repr() == "limbs":
+        return hash2(a, b)
+    name = backend()
+    if name == "pallas" and a.shape[-1] >= PALLAS_MIN_BATCH:
+        from . import poseidon_rns_pallas as pk
+        return pk.hash2_nodes(a, b)
+    from . import poseidon_rns
+    return poseidon_rns.hash2_nodes(a, b)
+
+
+def hash3_leaf(a, b, c):
+    """Batched 3-to-1 leaf hash: canonical limb inputs (leaf field values),
+    node-representation output."""
+    if node_repr() == "limbs":
+        return hash3(a, b, c)
+    name = backend()
+    if name == "pallas" and a.shape[-1] >= PALLAS_MIN_BATCH:
+        from . import poseidon_rns_pallas as pk
+        return pk.hash3_leaf(a, b, c)
+    from . import poseidon_rns
+    return poseidon_rns.hash3_leaf(a, b, c)
+
+
 def hash_fixed(cols):
     """Batched fixed-length hash of any arity (the halo2-base
     hash_fix_len_array contract).  Lengths 2/3 route through the dispatched

@@ -136,6 +136,30 @@ class PoseidonRns:
         st = self.permute(st)
         return field_rns.to_limbs(st[:, 1], self.c)
 
+    # -- node-representation API (Montgomery residues f32[2n, B] in/out;
+    #    the Merkle-level fast path — no limb conversions) ------------------
+
+    def hash2_nodes(self, xa, xb):
+        """2-to-1 hash on residue nodes f32[2n, B] -> f32[2n, B]."""
+        iv = jnp.broadcast_to(jnp.asarray(self._iv0)[:, None, None],
+                              xa.shape[:1] + (1,) + xa.shape[1:])
+        st = self.permute(jnp.concatenate(
+            [iv, xa[:, None], xb[:, None]], axis=1))
+        one = jnp.asarray(self._one)[:, None]
+        st = jnp.concatenate([st[:, 0:1], (st[:, 1] + one)[:, None],
+                              st[:, 2:3]], axis=1)
+        return self.permute(st)[:, 1]
+
+    def hash3_leaf(self, a, b, c):
+        """3-to-1 leaf hash: canonical limb inputs uint32[16, B],
+        residue-node output f32[2n, B]."""
+        st = self.permute(self._absorb2(a, b))
+        xc = field_rns.from_limbs(c, self.c)
+        one = jnp.asarray(self._one)[:, None]
+        st = jnp.concatenate([st[:, 0:1], (st[:, 1] + xc)[:, None],
+                              (st[:, 2] + one)[:, None]], axis=1)
+        return self.permute(st)[:, 1]
+
     def hash_fixed(self, cols):
         """Arbitrary fixed-length hash — the halo2-base
         ``PoseidonHasher::hash_fix_len_array`` contract (reference
@@ -200,6 +224,16 @@ def hash2(a, b):
 @jax.jit
 def hash3(a, b, c):
     return default_engine().hash3(a, b, c)
+
+
+@jax.jit
+def hash2_nodes(a, b):
+    return default_engine().hash2_nodes(a, b)
+
+
+@jax.jit
+def hash3_leaf(a, b, c):
+    return default_engine().hash3_leaf(a, b, c)
 
 
 @jax.jit

@@ -818,6 +818,26 @@ def hash2(a, b, t_tile: int = DEFAULT_TILE, interpret: bool = False,
     return field_rns.to_limbs(out[:, :nb])
 
 
+def hash2_nodes(ra, rb, t_tile: int = DEFAULT_TILE, interpret: bool = False,
+                dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
+    """Residue nodes f32[48, B] x2 -> f32[48, B] — the Merkle-level fast
+    path: same fused kernel as hash2 with NO limb conversions."""
+    ra, nb = _pad(ra, t_tile)
+    rb, _ = _pad(rb, t_tile)
+    out = _hash_fn("hash2", t_tile, interpret, dots, layout)(ra, rb)
+    return out[:, :nb]
+
+
+def hash3_leaf(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False,
+               dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
+    """Canonical limbs uint32[16, B] x3 -> residue nodes f32[48, B]."""
+    ra, nb = _pad(field_rns.from_limbs(a), t_tile)
+    rb, _ = _pad(field_rns.from_limbs(b), t_tile)
+    rc, _ = _pad(field_rns.from_limbs(c), t_tile)
+    out = _hash_fn("hash3", t_tile, interpret, dots, layout)(ra, rb, rc)
+    return out[:, :nb]
+
+
 def hash3(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False,
           dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
     """Canonical limbs uint32[16, B] x3 -> uint32[16, B] (indexed leaf)."""

@@ -22,6 +22,12 @@ Replicates the full capability surface of the reference
 
 State layout: struct-of-arrays, canonical limbs ``uint32[16, N]`` per field
 (val / next_val / next_idx), plus the Merkle levels of the leaf-hash tree.
+Levels are stored in the hash engine's NATIVE node representation
+(hashing.node_repr — Montgomery RNS residues ``f32[48, W]`` for the
+rns/pallas engines): every per-level hash in a tree walk then skips the
+canonical-limb round trip (to_limbs is a full CRT reconstruction, roughly a
+permutation's worth of work), and decoding happens once at the witness/API
+boundary (roots, proofs, checkpoints are canonical limbs as before).
 
 Divergences from the reference (documented, deliberate):
 * Inserting a duplicate or zero is REJECTED (ok=False, slot consumed but
@@ -105,9 +111,22 @@ def index_to_limbs(idx):
     return jnp.concatenate([lo[None], hi[None], rest])
 
 
+def _dec_path(proof):
+    """Node-representation proof stack [depth, CH, K] -> canonical limbs
+    [depth, 16, K] (identity under the limbs representation)."""
+    if poseidon_jax.node_repr() == "limbs":
+        return proof
+    return jnp.moveaxis(
+        poseidon_jax.dec_nodes(jnp.moveaxis(proof, 1, 0)), 0, 1)
+
+
 def _gather_proof(levels, idx, depth: int):
     """Sibling path + helper bits for one traced index (helper=1 iff the
-    path node is a left child — reference src/utils.rs:70-79)."""
+    path node is a left child — reference src/utils.rs:70-79).
+
+    `levels` hold nodes in the hash engine's native representation
+    (hashing.node_repr); the returned proof stack is in that representation
+    too — decode at the witness boundary with _dec_path."""
     proof, helpers = [], []
     cur = idx
     for _ in range(depth):
@@ -131,7 +150,7 @@ def _update_paths(levels, dirty_idx, dirty_leaves, depth: int):
         level = new_levels[d]
         left = jnp.take(level, parent_idx * 2, axis=1)
         right = jnp.take(level, parent_idx * 2 + 1, axis=1)
-        parent = poseidon_jax.hash2(left, right)
+        parent = poseidon_jax.hash2_nodes(left, right)
         new_levels.append(levels[d + 1].at[:, parent_idx].set(parent))
         cur_idx = parent_idx
     return tuple(new_levels)
@@ -155,28 +174,38 @@ def _zero_sib_cols(depth: int, full_depth: int) -> np.ndarray:
                      range(depth, full_depth)])[:, :, None]
 
 
+def _zero_sib_nodes(depth: int, full_depth: int):
+    """[full_depth - depth, CH, 1] zero-subtree hashes in the node
+    representation (traced constants; XLA folds the encoding)."""
+    cols = _zero_sib_cols(depth, full_depth)                 # [ext, 16, 1]
+    enc = poseidon_jax.enc_nodes(jnp.asarray(cols[:, :, 0].T))  # [CH, ext]
+    return enc.T[:, :, None]
+
+
 def _spine_fold(root_col, depth: int, full_depth: int):
-    """Active-prefix root [16, 1] -> full-depth root [16, 1] (traced).
+    """Active-prefix root [CH, 1] -> full-depth root [CH, 1] (traced, node
+    representation in and out).
 
     lax.scan over the zero-sibling columns: ONE compiled hash2 body instead
     of full_depth - depth inlined permutation graphs."""
     if full_depth == depth:
         return root_col
-    sibs = jnp.asarray(_zero_sib_cols(depth, full_depth))   # [ext, 16, 1]
+    sibs = _zero_sib_nodes(depth, full_depth)                # [ext, CH, 1]
 
     def body(r, sib):
-        return poseidon_jax.hash2(r, sib), None
+        return poseidon_jax.hash2_nodes(r, sib), None
 
     root_col, _ = jax.lax.scan(body, root_col, sibs)
     return root_col
 
 
 def _extend_proof(proof, helpers, depth: int, full_depth: int):
-    """Append the zero-spine siblings/helpers to an active-depth proof."""
+    """Append the zero-spine siblings/helpers to an active-depth proof
+    (node representation)."""
     ext = full_depth - depth
     k = proof.shape[-1]
-    sibs = jnp.broadcast_to(jnp.asarray(_zero_sib_cols(depth, full_depth)),
-                            (ext, field.LIMBS, k))
+    sibs = jnp.broadcast_to(_zero_sib_nodes(depth, full_depth),
+                            (ext, proof.shape[1], k))
     ones = jnp.ones((ext, k), dtype=helpers.dtype)
     return (jnp.concatenate([proof, sibs]),
             jnp.concatenate([helpers, ones]))
@@ -186,8 +215,28 @@ def _extend_proof(proof, helpers, depth: int, full_depth: int):
 def _root_fold_fn(depth: int, full_depth: int):
     @jax.jit
     def f(root_col):
-        return _spine_fold(root_col, depth, full_depth)
+        # node-repr active root -> canonical full-depth root [16, 1]
+        return poseidon_jax.dec_nodes(
+            _spine_fold(root_col, depth, full_depth))
     return f
+
+
+@lru_cache(maxsize=None)
+def _build_levels_fn(depth: int):
+    """Jitted full-tree build over node-representation leaves: returns all
+    levels (leaves first, [CH, 1] root last) — the repr twin of
+    merkle._build_fn."""
+
+    @jax.jit
+    def build(leaves):
+        levels = [leaves]
+        cur = leaves
+        for _ in range(depth):
+            cur = poseidon_jax.hash2_nodes(cur[:, 0::2], cur[:, 1::2])
+            levels.append(cur)
+        return tuple(levels)
+
+    return build
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +286,7 @@ def _insert_step_fn(depth: int, full_depth: int | None = None):
 
         # --- rehash the two touched leaves, update both paths ----------------
         pair_idx = jnp.stack([low_idx, s])
-        pair_hash = poseidon_jax.hash3(
+        pair_hash = poseidon_jax.hash3_leaf(
             jnp.take(vals2, pair_idx, axis=1),
             jnp.take(nvs2, pair_idx, axis=1),
             jnp.take(nis2, pair_idx, axis=1))
@@ -245,15 +294,19 @@ def _insert_step_fn(depth: int, full_depth: int | None = None):
 
         # --- new-leaf proof against the UPDATED tree (reference :734) --------
         new_proof, new_helpers = _gather_proof(new_levels, s, depth)
-        new_root = new_levels[-1]
-        old_root, new_root = (levels[-1], new_root) if fd == depth else (
-            _spine_fold(levels[-1], depth, fd),
-            _spine_fold(new_root, depth, fd))
+        old_root_n, new_root_n = levels[-1], new_levels[-1]
         if fd != depth:
+            old_root_n = _spine_fold(old_root_n, depth, fd)
+            new_root_n = _spine_fold(new_root_n, depth, fd)
             low_proof, low_helpers = _extend_proof(
                 low_proof, low_helpers, depth, fd)
             new_proof, new_helpers = _extend_proof(
                 new_proof, new_helpers, depth, fd)
+        # witness boundary: decode roots + proofs to canonical limbs
+        old_root = poseidon_jax.dec_nodes(old_root_n)
+        new_root = poseidon_jax.dec_nodes(new_root_n)
+        low_proof = _dec_path(low_proof)
+        new_proof = _dec_path(new_proof)
 
         vals_out = jnp.where(ok, vals2, vals)
         nvs_out = jnp.where(ok, nvs2, nvs)
@@ -345,13 +398,16 @@ def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int):
             proof.append(jnp.take(levels[d], cur ^ 1, axis=1))
             helpers.append((cur % 2 == 0).astype(jnp.int32))
             cur = cur >> 1
-        proof = jnp.stack(proof)                    # [depth, 16, K]
+        proof = jnp.stack(proof)                    # [depth, CH, K] node repr
         helpers = jnp.stack(helpers)                # [depth, K]
-        root = jnp.broadcast_to(levels[-1], (field.LIMBS, k))
+        root_n = levels[-1]
         if full_depth != depth:
             proof, helpers = _extend_proof(proof, helpers, depth, full_depth)
-            root = jnp.broadcast_to(
-                _spine_fold(levels[-1], depth, full_depth), (field.LIMBS, k))
+            root_n = _spine_fold(root_n, depth, full_depth)
+        # witness boundary: decode to canonical limbs
+        proof = _dec_path(proof)
+        root = jnp.broadcast_to(poseidon_jax.dec_nodes(root_n),
+                                (field.LIMBS, k))
         return dict(ok=ok, root=root, low_leaf_val=low_val,
                     low_leaf_next_val=low_nv, low_leaf_next_idx=low_ni,
                     low_leaf_proof=proof, low_leaf_proof_helper=helpers,
@@ -451,7 +507,7 @@ def _insert_batch_fn(depth: int, k: int):
         # --- dirty leaves: the K new slots + their low leaves ----------------
         dirty_low = jnp.take(prev_slot, pos_new)
         dirty = jnp.concatenate([dirty_low, slots]).astype(jnp.int32)
-        dirty_hash = poseidon_jax.hash3(
+        dirty_hash = poseidon_jax.hash3_leaf(
             jnp.take(vals2, dirty, axis=1),
             jnp.take(nvs2, dirty, axis=1),
             jnp.take(nis2, dirty, axis=1))
@@ -550,6 +606,18 @@ def _zero_level_roots(depth: int) -> list[int]:
     return h
 
 
+def _zero_levels(depth: int):
+    """All-empty tree levels in the node representation: level d is the
+    zero-subtree hash of height d broadcast to its width."""
+    n = 1 << depth
+    cols = np.stack([field.int_to_limbs(h)
+                     for h in _zero_level_roots(depth)], axis=1)  # [16, d+1]
+    enc = poseidon_jax.enc_nodes(jnp.asarray(cols))               # [CH, d+1]
+    return tuple(
+        jnp.broadcast_to(enc[:, d:d + 1], (enc.shape[0], n >> d))
+        for d in range(depth + 1))
+
+
 class IndexedMerkleTree:
     """Indexed Merkle tree over 2^depth slots, all-empty at construction
     (every preimage (0,0,0) — the reference's test initialization at
@@ -564,26 +632,28 @@ class IndexedMerkleTree:
         self.count = 0  # inserts performed (slot cursor)
         z = jnp.zeros((field.LIMBS, n), dtype=jnp.uint32)
         self.vals, self.next_vals, self.next_idxs = z, z, z
-        self.levels = tuple(
-            jnp.broadcast_to(
-                jnp.asarray(field.int_to_limbs(h))[:, None],
-                (field.LIMBS, n >> d)).astype(jnp.uint32)
-            for d, h in enumerate(_zero_level_roots(depth)))
+        # levels store nodes in the hash engine's native representation
+        # (hashing.node_repr); decode at the API boundary only
+        self.levels = _zero_levels(depth)
 
     # -- queries -------------------------------------------------------------
 
+    def _limb_levels(self) -> list:
+        """Levels decoded to canonical limbs (convenience-API boundary)."""
+        return [poseidon_jax.dec_nodes(l) for l in self.levels]
+
     def get_root(self):
-        return self.levels[-1]
+        return poseidon_jax.dec_nodes(self.levels[-1])
 
     def get_root_int(self) -> int:
-        return field.limbs_to_int(np.asarray(self.levels[-1])[:, 0])
+        return field.limbs_to_int(np.asarray(self.get_root())[:, 0])
 
     def get_proof(self, index: int):
-        tree = MerkleTree(list(self.levels))
+        tree = MerkleTree(self._limb_levels())
         return tree.get_proofs([index])
 
     def verify_proof(self, leaf, index, root, proof) -> bool:
-        tree = MerkleTree(list(self.levels))
+        tree = MerkleTree(self._limb_levels())
         return tree.verify_proof(leaf, index, root, proof)
 
     def get_leaf_ints(self, index: int):
@@ -667,6 +737,7 @@ class IndexedMerkleTree:
         tree.vals = jnp.asarray(arrays["vals"])
         tree.next_vals = jnp.asarray(arrays["next_vals"])
         tree.next_idxs = jnp.asarray(arrays["next_idxs"])
-        leaves = poseidon_jax.hash3(tree.vals, tree.next_vals, tree.next_idxs)
-        tree.levels = tuple(MerkleTree.build(leaves).levels)
+        leaves = poseidon_jax.hash3_leaf(tree.vals, tree.next_vals,
+                                         tree.next_idxs)
+        tree.levels = _build_levels_fn(tree.tree_depth)(leaves)
         return tree

@@ -28,8 +28,7 @@ import jax.numpy as jnp
 from ..ops import field
 from ..ops import hashing as poseidon_jax
 from . import indexed
-from .indexed import InsertWitness, _zero_level_roots
-from .merkle import MerkleTree
+from .indexed import InsertWitness
 
 
 class SparseIndexedMerkleTree:
@@ -50,11 +49,7 @@ class SparseIndexedMerkleTree:
         n = 1 << ad
         z = jnp.zeros((field.LIMBS, n), dtype=jnp.uint32)
         self.vals, self.next_vals, self.next_idxs = z, z, z
-        self.levels = tuple(
-            jnp.broadcast_to(
-                jnp.asarray(field.int_to_limbs(h))[:, None],
-                (field.LIMBS, n >> d)).astype(jnp.uint32)
-            for d, h in enumerate(_zero_level_roots(ad)))
+        self.levels = indexed._zero_levels(ad)   # node representation
 
     def _grow_to(self, need: int):
         """Double the active prefix until it holds `need` slots."""
@@ -70,8 +65,9 @@ class SparseIndexedMerkleTree:
         self.vals = jnp.concatenate([self.vals, zcol], axis=1)
         self.next_vals = jnp.concatenate([self.next_vals, zcol], axis=1)
         self.next_idxs = jnp.concatenate([self.next_idxs, zcol], axis=1)
-        leaves = poseidon_jax.hash3(self.vals, self.next_vals, self.next_idxs)
-        self.levels = tuple(MerkleTree.build(leaves).levels)
+        leaves = poseidon_jax.hash3_leaf(self.vals, self.next_vals,
+                                         self.next_idxs)
+        self.levels = indexed._build_levels_fn(ad)(leaves)
         self.active_depth = ad
 
     # -- queries -------------------------------------------------------------
@@ -153,6 +149,7 @@ class SparseIndexedMerkleTree:
         tree.vals = jnp.asarray(arrays["vals"])
         tree.next_vals = jnp.asarray(arrays["next_vals"])
         tree.next_idxs = jnp.asarray(arrays["next_idxs"])
-        leaves = poseidon_jax.hash3(tree.vals, tree.next_vals, tree.next_idxs)
-        tree.levels = tuple(MerkleTree.build(leaves).levels)
+        leaves = poseidon_jax.hash3_leaf(tree.vals, tree.next_vals,
+                                         tree.next_idxs)
+        tree.levels = indexed._build_levels_fn(tree.active_depth)(leaves)
         return tree
