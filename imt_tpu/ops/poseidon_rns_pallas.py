@@ -267,6 +267,13 @@ def _extend_i8_x(sig, lhs_i8, c14, q, invq, neg_m, invq_in, delta, clamp):
     return _mod(total, q, invq)
 
 
+def _fake_dot(rhs, n_rows):
+    """Diagnostic (dots="none"): a numerically-bounded stand-in for the MXU
+    extension dot — measures how much of the kernel's wall time the dots'
+    SERIALIZATION with the VPU tail costs (outputs are garbage; timing only)."""
+    return jnp.broadcast_to(rhs[:1] + 1.0, (n_rows, rhs.shape[1]))
+
+
 def _extend(sig, lhs, q, invq, neg_m, delta, clamp):
     """Kawamura base extension, [24, X] -> [24, X] (see field_rns._extend).
 
@@ -276,7 +283,10 @@ def _extend(sig, lhs, q, invq, neg_m, delta, clamp):
     s1 = jnp.floor(sig * (1.0 / 256.0))
     s0 = sig - 256.0 * s1
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.bfloat16)
-    out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    if lhs is None:
+        out = _fake_dot(rhs.astype(jnp.float32), 3 * sig.shape[0] + 1)
+    else:
+        out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
     n = (out.shape[0] - 1) // 3
     est = out[3 * n:3 * n + 1]                 # [1, X] (range slice, no gather)
     alpha = jnp.floor(est + delta)
@@ -297,7 +307,10 @@ def _extend_nf(sig, lhs, q, invq, neg_m, delta, clamp):
     s1 = jnp.floor(sig * (1.0 / 256.0))
     s0 = sig - 256.0 * s1
     rhs = jnp.concatenate([s1, s0], axis=0).astype(jnp.bfloat16)
-    out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    if lhs is None:
+        out = _fake_dot(rhs.astype(jnp.float32), 3 * sig.shape[0] + 1)
+    else:
+        out = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
     n = (out.shape[0] - 1) // 3
     est = out[3 * n:3 * n + 1]
     alpha = jnp.floor(est + delta)
@@ -318,8 +331,11 @@ def _make_redc(lhs1, lhs2, cols, dots: str = "bf16"):
     k1 = cols[:n, 2:3]
     c1, c2, e2 = cols[:n, 3:4], cols[:n, 4:5], cols[:n, 5:6]
     neg_m1, neg_m2 = cols[:n, 7:8], cols[:n, 9:10]
-    lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
-    lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
+    if dots == "none":
+        lhs1_b = lhs2_b = None
+    else:
+        lhs1_b = lhs1 if dots == "int8" else lhs1.astype(jnp.bfloat16)
+        lhs2_b = lhs2 if dots == "int8" else lhs2.astype(jnp.bfloat16)
     if dots == "int8":
         ext1 = lambda sig: _extend_i8(sig, lhs1_b, q2, invq2, neg_m1,
                                       -0.25, True)

@@ -211,8 +211,17 @@ def _extend_proof(proof, helpers, depth: int, full_depth: int):
             jnp.concatenate([helpers, ones]))
 
 
+def _repr_key() -> str:
+    """Cache key for the jitted step builders: the node representation the
+    program will be traced with.  Keying every lru_cache'd builder on this
+    (plus the instance check in IndexedMerkleTree._check_repr) closes the
+    backend-switch footgun: a tree built under one representation can never
+    silently reuse a step program traced under another."""
+    return poseidon_jax.node_repr()
+
+
 @lru_cache(maxsize=None)
-def _root_fold_fn(depth: int, full_depth: int):
+def _root_fold_fn(depth: int, full_depth: int, nr: str = ""):
     @jax.jit
     def f(root_col):
         # node-repr active root -> canonical full-depth root [16, 1]
@@ -222,7 +231,7 @@ def _root_fold_fn(depth: int, full_depth: int):
 
 
 @lru_cache(maxsize=None)
-def _build_levels_fn(depth: int):
+def _build_levels_fn(depth: int, nr: str = ""):
     """Jitted full-tree build over node-representation leaves: returns all
     levels (leaves first, [CH, 1] root last) — the repr twin of
     merkle._build_fn."""
@@ -244,7 +253,7 @@ def _build_levels_fn(depth: int):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _insert_step_fn(depth: int, full_depth: int | None = None):
+def _insert_step_fn(depth: int, full_depth: int | None = None, nr: str = ""):
     n = 1 << depth
     fd = full_depth or depth
 
@@ -338,7 +347,8 @@ def _insert_step_fn(depth: int, full_depth: int | None = None):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int):
+def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int,
+                              nr: str = ""):
     n = 1 << depth
 
     m = n + k
@@ -421,7 +431,7 @@ def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _insert_batch_fn(depth: int, k: int):
+def _insert_batch_fn(depth: int, k: int, nr: str = ""):
     n = 1 << depth
     m = n + k
 
@@ -633,8 +643,20 @@ class IndexedMerkleTree:
         z = jnp.zeros((field.LIMBS, n), dtype=jnp.uint32)
         self.vals, self.next_vals, self.next_idxs = z, z, z
         # levels store nodes in the hash engine's native representation
-        # (hashing.node_repr); decode at the API boundary only
+        # (hashing.node_repr); decode at the API boundary only.  The
+        # representation is frozen per instance: _check_repr raises if the
+        # hash backend is switched to an incompatible one mid-lifetime
+        # (rns<->pallas share the representation and remain interchangeable).
+        self.node_repr = _repr_key()
         self.levels = _zero_levels(depth)
+
+    def _check_repr(self):
+        if _repr_key() != self.node_repr:
+            raise RuntimeError(
+                f"tree was built under node representation "
+                f"{self.node_repr!r} but the active hash backend now uses "
+                f"{_repr_key()!r}; call hashing.set_backend BEFORE "
+                f"constructing trees (or rebuild via to_arrays/from_arrays)")
 
     # -- queries -------------------------------------------------------------
 
@@ -643,6 +665,7 @@ class IndexedMerkleTree:
         return [poseidon_jax.dec_nodes(l) for l in self.levels]
 
     def get_root(self):
+        self._check_repr()
         return poseidon_jax.dec_nodes(self.levels[-1])
 
     def get_root_int(self) -> int:
@@ -674,8 +697,10 @@ class IndexedMerkleTree:
         verify_non_inclusion) can chain without a host round trip — through
         the axon tunnel the default host transfer costs more than the
         witness computation itself."""
+        self._check_repr()
         queries, k = _as_limb_batch(values)
-        f = _non_inclusion_witness_fn(self.tree_depth, k, self.tree_depth)
+        f = _non_inclusion_witness_fn(self.tree_depth, k, self.tree_depth,
+                                      self.node_repr)
         w = f(self.vals, self.next_vals, self.next_idxs, self.levels,
               jnp.asarray(queries))
         if not as_numpy:
@@ -691,9 +716,10 @@ class IndexedMerkleTree:
         as_numpy=False keeps the whole witness (incl. `ok`) device-resident
         so chained inserts pipeline under async dispatch — no per-insert
         host sync.  Callers then materialize when they need the values."""
+        self._check_repr()
         if self.count + 1 >= self.num_slots:
             raise ValueError("tree full")
-        step = _insert_step_fn(self.tree_depth)
+        step = _insert_step_fn(self.tree_depth, None, self.node_repr)
         new_val = jnp.asarray(field.int_to_limbs(value))[:, None]
         (self.vals, self.next_vals, self.next_idxs, self.levels), w = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
@@ -708,10 +734,11 @@ class IndexedMerkleTree:
         """Batched insert (sequential semantics, sort-resolved).  Returns the
         per-value acceptance mask.  `values` is a list of python ints, or an
         already-packed canonical limb array uint32[16, K]."""
+        self._check_repr()
         new_vals, k = _as_limb_batch(values)
         if self.count + k >= self.num_slots:
             raise ValueError("tree full")
-        step = _insert_batch_fn(self.tree_depth, k)
+        step = _insert_batch_fn(self.tree_depth, k, self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
@@ -739,5 +766,5 @@ class IndexedMerkleTree:
         tree.next_idxs = jnp.asarray(arrays["next_idxs"])
         leaves = poseidon_jax.hash3_leaf(tree.vals, tree.next_vals,
                                          tree.next_idxs)
-        tree.levels = _build_levels_fn(tree.tree_depth)(leaves)
+        tree.levels = _build_levels_fn(tree.tree_depth, tree.node_repr)(leaves)
         return tree

@@ -43,6 +43,7 @@ class SparseIndexedMerkleTree:
         self.tree_depth = depth
         self.active_depth = min(max(initial_capacity_log2, 1), depth)
         self.count = 0
+        self.node_repr = indexed._repr_key()
         self._alloc(self.active_depth)
 
     def _alloc(self, ad: int):
@@ -67,14 +68,17 @@ class SparseIndexedMerkleTree:
         self.next_idxs = jnp.concatenate([self.next_idxs, zcol], axis=1)
         leaves = poseidon_jax.hash3_leaf(self.vals, self.next_vals,
                                          self.next_idxs)
-        self.levels = indexed._build_levels_fn(ad)(leaves)
+        self.levels = indexed._build_levels_fn(ad, self.node_repr)(leaves)
         self.active_depth = ad
 
     # -- queries -------------------------------------------------------------
 
+    _check_repr = indexed.IndexedMerkleTree._check_repr
+
     def get_root(self):
-        return indexed._root_fold_fn(self.active_depth, self.tree_depth)(
-            self.levels[-1])
+        self._check_repr()
+        return indexed._root_fold_fn(self.active_depth, self.tree_depth,
+                                     self.node_repr)(self.levels[-1])
 
     def get_root_int(self) -> int:
         return field.limbs_to_int(np.asarray(self.get_root())[:, 0])
@@ -87,9 +91,10 @@ class SparseIndexedMerkleTree:
 
     def non_inclusion_witness(self, values):
         """Batched non-membership witnesses (full-depth proofs/roots)."""
+        self._check_repr()
         k = len(values)
         f = indexed._non_inclusion_witness_fn(
-            self.active_depth, k, self.tree_depth)
+            self.active_depth, k, self.tree_depth, self.node_repr)
         queries = jnp.asarray(field.ints_to_limbs([int(v) for v in values]))
         w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
         return indexed.NonInclusionWitness(ok=np.asarray(w["ok"]), **{
@@ -102,10 +107,12 @@ class SparseIndexedMerkleTree:
 
         as_numpy=False keeps the witness device-resident (async-dispatch
         pipelining across chained inserts — see IndexedMerkleTree.insert)."""
+        self._check_repr()
         if self.count + 1 >= (1 << self.tree_depth):
             raise ValueError("tree full")
         self._grow_to(self.count + 2)
-        step = indexed._insert_step_fn(self.active_depth, self.tree_depth)
+        step = indexed._insert_step_fn(self.active_depth, self.tree_depth,
+                                       self.node_repr)
         new_val = jnp.asarray(field.int_to_limbs(value))[:, None]
         (self.vals, self.next_vals, self.next_idxs, self.levels), w = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
@@ -117,11 +124,13 @@ class SparseIndexedMerkleTree:
             k: v for k, v in w.items() if k != "ok"})
 
     def insert_batch(self, values) -> np.ndarray:
+        self._check_repr()
         new_vals, k = indexed._as_limb_batch(values)
         if self.count + k >= (1 << self.tree_depth):
             raise ValueError("tree full")
         self._grow_to(self.count + k + 1)
-        step = indexed._insert_batch_fn(self.active_depth, k)
+        step = indexed._insert_batch_fn(self.active_depth, k,
+                                        self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
@@ -151,5 +160,6 @@ class SparseIndexedMerkleTree:
         tree.next_idxs = jnp.asarray(arrays["next_idxs"])
         leaves = poseidon_jax.hash3_leaf(tree.vals, tree.next_vals,
                                          tree.next_idxs)
-        tree.levels = indexed._build_levels_fn(tree.active_depth)(leaves)
+        tree.levels = indexed._build_levels_fn(
+            tree.active_depth, tree.node_repr)(leaves)
         return tree

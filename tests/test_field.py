@@ -90,6 +90,61 @@ def test_less_than_including_equal_limb_edges():
     assert (got == want).all()
 
 
+def _pack_u64(a):
+    """uint32[16, N] 16-bit limbs -> uint64[4, N] (independent oracle path)."""
+    a64 = a.astype(np.uint64)
+    return np.stack([a64[4 * i] | (a64[4 * i + 1] << 16)
+                     | (a64[4 * i + 2] << 32) | (a64[4 * i + 3] << 48)
+                     for i in range(4)])
+
+
+def _oracle_lt_eq(a, b):
+    """Lexicographic 254-bit compare through a different packing (4x64)."""
+    pa, pb = _pack_u64(a), _pack_u64(b)
+    lt = np.zeros(a.shape[1], dtype=bool)
+    eq = np.ones(a.shape[1], dtype=bool)
+    for i in range(3, -1, -1):
+        lt |= eq & (pa[i] < pb[i])
+        eq &= pa[i] == pb[i]
+    return lt, eq
+
+
+def test_comparator_fuzz_10m():
+    """Reference-scale comparator fuzz: 10M+ pairs incl. deliberate
+    equal-limb structure (the class that masks the reference's `a_r == b_q`
+    typo, src/indexed_merkle_tree.rs:617).  Bulk rounds check against a
+    4x64-packed numpy oracle; the first rounds also against python ints."""
+    import jax
+    import jax.numpy as jnp
+    from imt_tpu.ops import gates
+
+    batch, rounds = 1 << 16, 160          # ~10.5M pairs
+    nprng = np.random.RandomState(0x1337)
+    lt_f = jax.jit(field.less_than)
+    eq_f = jax.jit(field.eq)
+    glt_f = jax.jit(gates.less_than_254)
+    for r in range(rounds):
+        a = nprng.randint(0, 1 << 16, size=(16, batch), dtype=np.uint32)
+        b = nprng.randint(0, 1 << 16, size=(16, batch), dtype=np.uint32)
+        a[15] &= 0x2FFF
+        b[15] &= 0x2FFF
+        k = batch // 8
+        b[:, :k] = a[:, :k]                       # equal values
+        b[8:, k:2 * k] = a[8:, k:2 * k]           # equal high halves
+        b[:8, 2 * k:3 * k] = a[:8, 2 * k:3 * k]   # equal low halves
+        b[0, 3 * k:4 * k] = (a[0, 3 * k:4 * k] + 1) & 0xFFFF   # off-by-one
+        want_lt, want_eq = _oracle_lt_eq(a, b)
+        if r < 2:       # python-int ground truth for the oracle itself
+            av = sum(a[i].astype(object) << (16 * i) for i in range(16))
+            bv = sum(b[i].astype(object) << (16 * i) for i in range(16))
+            assert (want_lt == (av < bv)).all()
+            assert (want_eq == (av == bv)).all()
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        assert (np.asarray(lt_f(aj, bj)) == want_lt).all(), f"lt round {r}"
+        assert (np.asarray(eq_f(aj, bj)) == want_eq).all(), f"eq round {r}"
+        assert (np.asarray(glt_f(aj, bj)) == want_lt).all(), f"gates round {r}"
+
+
 def test_eq_is_zero_select():
     xs = [0, 1, rand_fe(), 0]
     ys = [0, 2, xs[2], 5]

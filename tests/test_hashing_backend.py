@@ -58,3 +58,47 @@ def test_rns_backend_tree_parity():
                          cwd=repo_root)
     assert out.returncode == 0, out.stderr[-3000:]
     assert "RNS-BACKEND-OK" in out.stdout
+
+
+def test_backend_switch_mid_tree_raises():
+    """The backend-representation guard: a tree built under one node
+    representation must raise (not silently corrupt) if the hash backend is
+    switched to an incompatible one mid-lifetime.  Runs in a subprocess so
+    the main process's backend state stays untouched."""
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from imt_tpu.ops import hashing
+from imt_tpu import IndexedMerkleTree
+
+hashing.set_backend("cios")           # node repr: canonical limbs
+t = IndexedMerkleTree(depth=3)
+t.insert(7)
+hashing.set_backend("rns")            # node repr: rns residues
+for op in (lambda: t.insert(9), lambda: t.insert_batch([11]),
+           lambda: t.get_root(), lambda: t.non_inclusion_witness([5])):
+    try:
+        op()
+    except RuntimeError as e:
+        assert "node representation" in str(e), e
+    else:
+        raise SystemExit("backend switch did not raise")
+# rns <-> pallas share the representation: switching must NOT raise
+hashing.set_backend("rns")
+t2 = IndexedMerkleTree(depth=3)
+t2.insert(7)
+hashing.set_backend("pallas")         # same node repr ("rns")
+t2.insert(9)
+assert t2.get_root_int() != 0
+print("GUARD-OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(here)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=560,
+                         cwd=repo_root)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "GUARD-OK" in out.stdout
