@@ -75,7 +75,8 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
                 def f(seed):
                     base = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) ^ seed
                     st = cast(base & mask)
-                    st = pk.permute_n(st, k)
+                    st = pk.permute_n(st, k, t_tile=tile, dots=dots,
+                                      layout=layout)
                     return st[:, :1]
                 return f
             times = {}
@@ -235,8 +236,13 @@ def bench_single_insert(depth: int, iters: int) -> float:
     return iters / dt
 
 
-def bench_batch_insert_sparse(depth: int, k: int, iters: int) -> float:
-    """BASELINE configs 4/5: batched inserts/s into a sparse-prefix tree."""
+def bench_batch_insert_sparse(depth: int, k: int, iters: int,
+                              witness: bool = False) -> float:
+    """BASELINE configs 4/5: batched inserts/s into a sparse-prefix tree.
+
+    witness=True measures the witness-producing batched path (every insert
+    emits the full insert_leaf bundle — the batch-rate replacement for the
+    RPC-bound sequential config 3)."""
     _setup_jax()
     import random
     import numpy as np
@@ -251,19 +257,25 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int) -> float:
     batches = [field.ints_to_limbs(
         [rng.randrange(1, 1 << 253) for _ in range(k)])
         for _ in range(iters + 1)]
+
+    def run(vals):
+        if witness:
+            w = tree.insert_batch(vals, witness=True, as_numpy=False)
+            return w.ok
+        return tree.insert_batch(vals)
+
     t0 = time.time()
-    ok = tree.insert_batch(batches[0])
+    ok = np.asarray(run(batches[0]))
     log(f"compile+first batch: {time.time()-t0:.1f}s "
         f"(accepted {ok.sum()}/{k})")
     t0 = time.time()
     total = 0
     for vals in batches[1:]:
-        ok = tree.insert_batch(vals)
-        total += int(ok.sum())
+        total += int(np.asarray(run(vals)).sum())
     np.asarray(tree.levels[-1])
     dt = time.time() - t0
-    log(f"{total} inserts in {dt:.3f}s -> {total/dt:,.0f} inserts/s "
-        f"(depth {depth}, batch {k})")
+    log(f"{total} {'witness ' if witness else ''}inserts in {dt:.3f}s -> "
+        f"{total/dt:,.0f} inserts/s (depth {depth}, batch {k})")
     return total / dt
 
 
@@ -290,14 +302,41 @@ def bench_oracle(batch: int, iters: int) -> float:
     return rate
 
 
+def config_result(cfg: str, smoke: bool = False) -> dict:
+    """One BASELINE config -> its JSON record (also used by --artifact)."""
+    if cfg == "2":
+        rate = bench_non_inclusion(8, 256, 8192, 2 if smoke else 8)
+        metric, unit = "non-membership verifies/s (depth 8)", "verifies/s"
+    elif cfg == "3":
+        rate = bench_single_insert(16, 4 if smoke else 64)
+        metric, unit = "sequential witness inserts/s (depth 16)", "inserts/s"
+    elif cfg == "3w":
+        rate = bench_batch_insert_sparse(16, 4096, 2 if smoke else 8,
+                                         witness=True)
+        metric, unit = ("witness-batch inserts/s (depth 16, batch 4096, "
+                        "full insert_leaf bundles)", "inserts/s")
+    elif cfg == "4":
+        rate = bench_batch_insert_sparse(24, 4096, 2 if smoke else 8)
+        metric, unit = "batched inserts/s (depth 24, batch 4096)", "inserts/s"
+    else:
+        k, iters = (4096, 2) if smoke else (65536, 15)
+        rate = bench_batch_insert_sparse(32, k, iters)
+        metric, unit = (f"batched inserts/s (depth 32, batch {k}, ~1M total)",
+                        "inserts/s")
+    return {"config": cfg, "metric": metric, "value": round(rate, 1),
+            "unit": unit, "vs_baseline": None}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--insert", action="store_true")
     ap.add_argument("--oracle", action="store_true",
                     help="C++ reference-equivalent CPU Poseidon baseline")
-    ap.add_argument("--config", type=int, choices=[2, 3, 4, 5],
+    ap.add_argument("--config", choices=["2", "3", "3w", "4", "5"],
                     help="BASELINE.md benchmark config")
+    ap.add_argument("--artifact", action="store_true",
+                    help="run configs 2/3/3w/4/5 and write BENCH_configs.json")
     ap.add_argument("--engine",
                     choices=["rns", "pallas", "pallas-chain", "mxu", "int",
                              "scan"],
@@ -318,25 +357,28 @@ def main() -> None:
         }))
         return
 
+    if args.artifact:
+        import datetime
+        results = []
+        for cfg in ["2", "3", "3w", "4", "5"]:
+            log(f"=== config {cfg} ===")
+            results.append(config_result(cfg, args.smoke))
+        artifact = {
+            "date": datetime.date.today().isoformat(),
+            "device": "1 TPU chip (axon tunnel)",
+            "configs": results,
+        }
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_configs.json")
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps({"metric": "configs recorded", "value": len(results),
+                          "unit": "configs", "vs_baseline": None}))
+        return
+
     if args.config:
-        if args.config == 2:
-            # k=8192 queries/batch: the engine is batch-oriented; smaller
-            # batches are dominated by per-call tunnel RPC, not compute
-            rate = bench_non_inclusion(8, 256, 8192, 2 if args.smoke else 8)
-            metric, unit = "non-membership verifies/s (depth 8)", "verifies/s"
-        elif args.config == 3:
-            rate = bench_single_insert(16, 4 if args.smoke else 64)
-            metric, unit = "sequential witness inserts/s (depth 16)", "inserts/s"
-        elif args.config == 4:
-            rate = bench_batch_insert_sparse(24, 4096, 2 if args.smoke else 8)
-            metric, unit = "batched inserts/s (depth 24, batch 4096)", "inserts/s"
-        else:
-            k, iters = (4096, 2) if args.smoke else (65536, 15)
-            rate = bench_batch_insert_sparse(32, k, iters)
-            metric, unit = (f"batched inserts/s (depth 32, batch {k}, ~1M total)",
-                            "inserts/s")
-        print(json.dumps({"metric": metric, "value": round(rate, 1),
-                          "unit": unit, "vs_baseline": None}))
+        print(json.dumps(config_result(args.config, args.smoke)))
         return
 
     if args.insert:

@@ -36,9 +36,9 @@ from . import field_rns
 from .poseidon_rns import _constants
 
 N_CH = 48          # 2n residue channels
-# bf16/cat tile sweep (same-day, batch 32768): 512 -> 4.45M, 1024 -> 6.13M,
-# 2048 -> 6.60M, 4096 -> 6.42M perms/s (4096 needs the raised vmem limit).
-DEFAULT_TILE = 2048
+# split/bf16 tile sweep (2026-08-19, batch 65536): 1024 -> 7.68M,
+# 2048 -> 7.78M, 4096 -> 8.13M, 8192 -> 8.06M, 16384 -> 7.71M perms/s.
+DEFAULT_TILE = 4096
 # extension-dot flavor: "bf16" (8-bit digit blocks + fused est row) or
 # "int8" (7-bit digit blocks on the int8 MXU path).  bf16 WINS despite
 # int8's 2x MXU rate: these dots are tiny ([73,48]@[48,3T] — shape-bound,
@@ -56,10 +56,14 @@ DEFAULT_DOTS = "bf16"
 # Kawamura alpha as an early VPU reduction (v0x also: 72-row lhs, two-mod
 # combine — the exact pre-fusion extension).  All value-exact (canonical
 # limbs identical at every hash boundary; raw RNS representatives may differ
-# between est flavors at margin-window inputs).  Same-day A/B, tile 1024,
+# between est flavors at margin-window inputs).  Round-1 A/B, tile 1024,
 # batch 32768, bf16 dots: cat 6.13M > v0 6.06M; int8 dots: cat 4.86 > v0
-# 4.56 > v0e 4.35 > v0x 4.27 > split 3.36M perms/s.
-DEFAULT_LAYOUT = "cat"
+# 4.56 > v0e 4.35 > v0x 4.27 > split 3.36M perms/s.  Round-2 re-A/B with
+# bf16 dots (the combination round 1 never measured): split BEATS cat —
+# 7.78M vs 7.55M at tile 2048, 8.13M at tile 4096 (the concatenate traffic
+# the split layout removes is ~11% of the census; bf16 dots don't pay the
+# int32->f32 converts that sank split+int8).
+DEFAULT_LAYOUT = "split"
 
 
 def _ext_lhs_i8(a: np.ndarray, invq_in: np.ndarray) -> np.ndarray:

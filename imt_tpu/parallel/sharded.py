@@ -113,36 +113,55 @@ def sharded_hash3(a, b, c, mesh: Mesh):
 class ShardedIndexedMerkleTree:
     """Indexed Merkle tree with mesh-sharded state — the multi-chip flagship.
 
-    Same API as tree.indexed.IndexedMerkleTree (insert / insert_batch /
-    non_inclusion_witness / roots / checkpointing via to_arrays), but the
-    slot dimension of the leaf state and of every tree level wide enough to
-    split lives sharded over the mesh axis.  The jitted insert/witness steps
-    are the SAME cached programs as single-device; GSPMD partitions the
-    global sort, gathers and dirty-path scatters and inserts the collectives
-    (the reference has no distributed machinery at all — SURVEY §2.3; this
-    is the TPU-native scaling answer).
+    Same API as tree.indexed.IndexedMerkleTree (insert / insert_batch incl.
+    witness=True / non_inclusion_witness / roots / checkpointing via
+    to_arrays), but the slot dimension of the leaf state and of every tree
+    level wide enough to split lives sharded over the mesh axis.  The jitted
+    insert/witness steps are the SAME cached programs as single-device;
+    GSPMD partitions the global sort, gathers and dirty-path scatters and
+    inserts the collectives (the reference has no distributed machinery at
+    all — SURVEY §2.3; this is the TPU-native scaling answer).
+
+    ``sparse=True`` (default for depth > 20) backs the tree with the
+    sparse-prefix container: only the active prefix is materialized and
+    sharded, so depth-32+ trees scale across the mesh (BASELINE config 5).
 
     Narrow levels (width < mesh size) stay replicated: the top of the tree
     is latency-bound, so collectives there would cost more than they save.
+
+    Placement discipline: state is placed once at construction and after
+    capacity growth; after each jitted step `_place()` re-asserts the
+    shardings, which is a NO-OP (same-sharding device_put returns the array
+    unchanged) whenever GSPMD already propagated them — no per-op state
+    copy happens on the steady path.
     """
 
-    def __init__(self, depth: int, mesh: Mesh | None = None):
+    def __init__(self, depth: int, mesh: Mesh | None = None,
+                 sparse: bool | None = None,
+                 initial_capacity_log2: int = 10):
         from ..tree.indexed import IndexedMerkleTree
+        from ..tree.sparse import SparseIndexedMerkleTree
         self._mesh = mesh or make_mesh()
-        self._inner = IndexedMerkleTree(depth)
+        if sparse is None:
+            sparse = depth > 20
+        self.sparse = sparse
+        self._inner = (SparseIndexedMerkleTree(depth, initial_capacity_log2)
+                       if sparse else IndexedMerkleTree(depth))
         self._shard = NamedSharding(self._mesh, P(None, "shard"))
         self._repl = NamedSharding(self._mesh, P())
         self._place()
 
+    def _put(self, arr):
+        d = self._mesh.devices.size
+        wide = arr.shape[1] % d == 0 and arr.shape[1] >= d
+        return jax.device_put(arr, self._shard if wide else self._repl)
+
     def _place(self):
-        t, d = self._inner, self._mesh.devices.size
-        t.vals = jax.device_put(t.vals, self._shard)
-        t.next_vals = jax.device_put(t.next_vals, self._shard)
-        t.next_idxs = jax.device_put(t.next_idxs, self._shard)
-        t.levels = tuple(
-            jax.device_put(l, self._shard if l.shape[1] % d == 0
-                           and l.shape[1] >= d else self._repl)
-            for l in t.levels)
+        t = self._inner
+        t.vals = self._put(t.vals)
+        t.next_vals = self._put(t.next_vals)
+        t.next_idxs = self._put(t.next_idxs)
+        t.levels = tuple(self._put(l) for l in t.levels)
 
     # -- delegated API ---------------------------------------------------------
 
@@ -154,6 +173,10 @@ class ShardedIndexedMerkleTree:
     def count(self) -> int:
         return self._inner.count
 
+    @property
+    def active_depth(self) -> int:
+        return getattr(self._inner, "active_depth", self._inner.tree_depth)
+
     def get_root(self):
         return self._inner.get_root()
 
@@ -163,20 +186,34 @@ class ShardedIndexedMerkleTree:
     def get_leaf_ints(self, index: int):
         return self._inner.get_leaf_ints(index)
 
-    def insert(self, value: int):
-        w = self._inner.insert(value)
-        self._place()
+    def insert(self, value: int, as_numpy: bool = True):
+        before = self.active_depth
+        w = self._inner.insert(value, as_numpy=as_numpy)
+        if self.active_depth != before:
+            self._place()
         return w
 
-    def insert_batch(self, values) -> np.ndarray:
+    def insert_batch(self, values, witness: bool = False,
+                     as_numpy: bool = True):
         from ..tree.indexed import _as_limb_batch
         vals, _ = _as_limb_batch(values)
-        ok = self._inner.insert_batch(jax.device_put(vals, self._repl))
-        self._place()
-        return ok
+        before = self.active_depth
+        out = self._inner.insert_batch(jax.device_put(vals, self._repl),
+                                       witness=witness, as_numpy=as_numpy)
+        if self.active_depth != before:
+            self._place()
+        return out
 
-    def non_inclusion_witness(self, values):
-        return self._inner.non_inclusion_witness(values)
+    def non_inclusion_witness(self, values, as_numpy: bool = True):
+        from ..tree.indexed import _as_limb_batch
+        queries, k = _as_limb_batch(values)
+        d = self._mesh.devices.size
+        qsh = self._shard if (k % d == 0 and k >= d) else self._repl
+        if self.sparse:
+            return self._inner.non_inclusion_witness(
+                jax.device_put(queries, qsh))
+        return self._inner.non_inclusion_witness(
+            jax.device_put(queries, qsh), as_numpy=as_numpy)
 
     def to_arrays(self) -> dict:
         return self._inner.to_arrays()

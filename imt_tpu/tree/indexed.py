@@ -193,7 +193,10 @@ def _spine_fold(root_col, depth: int, full_depth: int):
     sibs = _zero_sib_nodes(depth, full_depth)                # [ext, CH, 1]
 
     def body(r, sib):
-        return poseidon_jax.hash2_nodes(r, sib), None
+        # r may be [CH, K] (a per-insert root series); broadcast the
+        # zero-subtree sibling column to match
+        return poseidon_jax.hash2_nodes(
+            r, jnp.broadcast_to(sib, r.shape)), None
 
     root_col, _ = jax.lax.scan(body, root_col, sibs)
     return root_col
@@ -730,14 +733,35 @@ class IndexedMerkleTree:
         return InsertWitness(ok=np.asarray(w["ok"]), **{
             k: v for k, v in w.items() if k != "ok"})
 
-    def insert_batch(self, values) -> np.ndarray:
-        """Batched insert (sequential semantics, sort-resolved).  Returns the
-        per-value acceptance mask.  `values` is a list of python ints, or an
-        already-packed canonical limb array uint32[16, K]."""
+    def insert_batch(self, values, witness: bool = False,
+                     as_numpy: bool = True):
+        """Batched insert (sequential semantics, sort-resolved).  `values` is
+        a list of python ints, or an already-packed canonical limb array
+        uint32[16, K].
+
+        witness=False: returns the per-value acceptance mask (bool[K]).
+        witness=True: additionally materializes the full per-insert
+        InsertWitness bundle (the reference insert_leaf chip's arguments,
+        src/indexed_merkle_tree.rs:231-244), bit-identical on accepted lanes
+        to sequential insertion, computed level-synchronously in ONE jitted
+        call (see tree/batch_witness.py).  as_numpy=False keeps the witness
+        device-resident for chaining into the insert_leaf predicate."""
         self._check_repr()
         new_vals, k = _as_limb_batch(values)
         if self.count + k >= self.num_slots:
             raise ValueError("tree full")
+        if witness:
+            from .batch_witness import _insert_batch_witness_fn
+            step = _insert_batch_witness_fn(
+                self.tree_depth, k, self.tree_depth, self.node_repr)
+            (self.vals, self.next_vals, self.next_idxs, self.levels), w = \
+                step(self.vals, self.next_vals, self.next_idxs, self.levels,
+                     new_vals, jnp.int32(self.count))
+            self.count += k
+            if not as_numpy:
+                return InsertWitness(**w)
+            return InsertWitness(ok=np.asarray(w["ok"]), **{
+                key: v for key, v in w.items() if key != "ok"})
         step = _insert_batch_fn(self.tree_depth, k, self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,

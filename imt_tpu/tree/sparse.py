@@ -89,16 +89,47 @@ class SparseIndexedMerkleTree:
         ni = field.limbs_to_int(np.asarray(self.next_idxs)[:, index])
         return (v, nv, ni)
 
-    def non_inclusion_witness(self, values):
-        """Batched non-membership witnesses (full-depth proofs/roots)."""
+    def non_inclusion_witness(self, values,
+                              as_numpy: bool = True) -> indexed.NonInclusionWitness:
+        """Batched non-membership witnesses (full-depth proofs/roots).
+
+        `values` is a list of python ints or a pre-packed limb array
+        uint32[16, K]; as_numpy=False keeps every field device-resident
+        (same contract as IndexedMerkleTree.non_inclusion_witness)."""
         self._check_repr()
-        k = len(values)
+        queries, k = indexed._as_limb_batch(values)
         f = indexed._non_inclusion_witness_fn(
             self.active_depth, k, self.tree_depth, self.node_repr)
-        queries = jnp.asarray(field.ints_to_limbs([int(v) for v in values]))
         w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
+        if not as_numpy:
+            return indexed.NonInclusionWitness(**w)
         return indexed.NonInclusionWitness(ok=np.asarray(w["ok"]), **{
             key: v for key, v in w.items() if key != "ok"})
+
+    def get_proof(self, index: int):
+        """Full-depth Merkle proof of the leaf at `index`: the active-prefix
+        path extended with the zero-subtree spine (helper=1 above the
+        prefix).  Matches IndexedMerkleTree.get_proof's (proof, helpers)."""
+        from .merkle import MerkleTree
+        tree = MerkleTree([poseidon_jax.dec_nodes(l) for l in self.levels])
+        proof, helpers = tree.get_proofs([index])
+        ext = self.tree_depth - self.active_depth
+        if ext:
+            sibs = jnp.asarray(indexed._zero_sib_cols(
+                self.active_depth, self.tree_depth))        # [ext, 16, 1]
+            proof = jnp.concatenate([proof, sibs])
+            helpers = jnp.concatenate(
+                [helpers, jnp.ones((ext, 1), helpers.dtype)])
+        return proof, helpers
+
+    def verify_proof(self, leaf, index, root, proof) -> bool:
+        """Full-depth verify by index parity (reference src/utils.rs:87-107).
+        Stateless: recomputes the root from the proof alone."""
+        from . import merkle
+        idx = jnp.asarray(np.asarray([index], dtype=np.int32))
+        root_b = jnp.broadcast_to(jnp.asarray(root), (field.LIMBS, 1))
+        return bool(np.asarray(merkle._verify_fn(proof.shape[0])(
+            jnp.asarray(leaf), idx, root_b, jnp.asarray(proof)))[0])
 
     # -- mutation ------------------------------------------------------------
 
@@ -123,12 +154,28 @@ class SparseIndexedMerkleTree:
         return InsertWitness(ok=np.asarray(w["ok"]), **{
             k: v for k, v in w.items() if k != "ok"})
 
-    def insert_batch(self, values) -> np.ndarray:
+    def insert_batch(self, values, witness: bool = False,
+                     as_numpy: bool = True):
+        """Batched insert; witness=True emits full-depth per-insert witness
+        bundles (proofs/roots extended over the zero spine) — see
+        IndexedMerkleTree.insert_batch."""
         self._check_repr()
         new_vals, k = indexed._as_limb_batch(values)
         if self.count + k >= (1 << self.tree_depth):
             raise ValueError("tree full")
         self._grow_to(self.count + k + 1)
+        if witness:
+            from .batch_witness import _insert_batch_witness_fn
+            step = _insert_batch_witness_fn(
+                self.active_depth, k, self.tree_depth, self.node_repr)
+            (self.vals, self.next_vals, self.next_idxs, self.levels), w = \
+                step(self.vals, self.next_vals, self.next_idxs, self.levels,
+                     new_vals, jnp.int32(self.count))
+            self.count += k
+            if not as_numpy:
+                return indexed.InsertWitness(**w)
+            return indexed.InsertWitness(ok=np.asarray(w["ok"]), **{
+                key: v for key, v in w.items() if key != "ok"})
         step = indexed._insert_batch_fn(self.active_depth, k,
                                         self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(

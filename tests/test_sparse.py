@@ -123,3 +123,31 @@ def test_insert_device_resident_witness():
     w = a.insert(20, as_numpy=False)
     assert not bool(np.asarray(w.ok)[0])
     assert a.get_root_int() == b.get_root_int()
+
+
+def test_sparse_proof_api_symmetry():
+    """get_proof / verify_proof / packed+device non_inclusion_witness on the
+    sparse tree (API parity with IndexedMerkleTree — full-depth proofs)."""
+    import jax.numpy as jnp
+    from imt_tpu.ops import field, hashing
+    from imt_tpu.tree.sparse import SparseIndexedMerkleTree
+
+    t = SparseIndexedMerkleTree(20, initial_capacity_log2=3)
+    for v in [30, 10, 20]:
+        t.insert(v)
+    proof, helpers = t.get_proof(1)
+    assert proof.shape == (20, field.LIMBS, 1)
+    assert helpers.shape == (20, 1)
+    leaf = hashing.dec_nodes(t.levels[0])[:, 1:2]
+    root = t.get_root()
+    assert t.verify_proof(leaf, 1, root, proof)
+    # corrupted proof must fail
+    bad = proof.at[3, 0, 0].set(proof[3, 0, 0] + 1)
+    assert not t.verify_proof(leaf, 1, root, bad)
+
+    # packed limb queries + device-resident witness
+    qs = jnp.asarray(field.ints_to_limbs([15, 30]))
+    w = t.non_inclusion_witness(qs, as_numpy=False)
+    import numpy as np
+    assert list(np.asarray(w.ok)) == [True, False]
+    assert w.low_leaf_proof.shape[0] == 20

@@ -1,0 +1,91 @@
+"""Interleaved kernel A/B on the real chip — noise-resistant protocol.
+
+Single-process measurements of the same kernel were observed to spread
++-8% across runs (shared/thermal chip behind the axon tunnel), wide enough
+to swamp layout/tile effects.  This tool compiles every variant ONCE, then
+measures them INTERLEAVED (A B C A B C ...) with the (K2-K1) slope protocol
+per round, and reports per-variant medians — drift hits all variants
+equally within a round.
+
+Usage:
+  python tools/ab_kernel.py --variants split:4096 cat:2048 --rounds 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="+",
+                    default=["split:4096", "cat:2048"],
+                    help="layout:tile[:dots] specs")
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=1 << 16)
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_tpu"))
+    import jax.numpy as jnp
+    import numpy as np
+    from imt_tpu.ops import poseidon_rns_pallas as pk
+
+    shape = (144, args.batch)
+    mask = jnp.uint32(0x7FF)
+
+    def make(layout, tile, dots, k):
+        @jax.jit
+        def f(seed):
+            base = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) ^ seed
+            st = (base & mask).astype(jnp.float32)
+            st = pk.permute_n(st, k, t_tile=tile, dots=dots, layout=layout)
+            return st[:, :1]
+        return f
+
+    fns = {}
+    for spec in args.variants:
+        parts = spec.split(":")
+        layout, tile = parts[0], int(parts[1])
+        dots = parts[2] if len(parts) > 2 else "bf16"
+        for k in (args.k1, args.k2):
+            t0 = time.time()
+            f = make(layout, tile, dots, k)
+            np.asarray(f(jnp.uint32(1)))
+            print(f"compile {spec} K={k}: {time.time()-t0:.0f}s",
+                  flush=True)
+            fns[(spec, k)] = f
+
+    rates = {spec: [] for spec in args.variants}
+    for r in range(args.rounds):
+        for spec in args.variants:
+            times = {}
+            for k in (args.k1, args.k2):
+                t0 = time.time()
+                np.asarray(fns[(spec, k)](jnp.uint32(2 + r)))
+                times[k] = time.time() - t0
+            slope = (times[args.k2] - times[args.k1]) / (args.k2 - args.k1)
+            rate = args.batch / slope
+            rates[spec].append(rate)
+            print(f"round {r} {spec}: {rate/1e6:.3f} M perms/s", flush=True)
+
+    print("\n=== medians ===")
+    for spec in args.variants:
+        med = statistics.median(rates[spec])
+        spread = (max(rates[spec]) - min(rates[spec])) / med
+        print(f"{spec:16s} {med/1e6:7.3f} M perms/s  (spread {spread:.1%})")
+
+
+if __name__ == "__main__":
+    main()
