@@ -203,8 +203,10 @@ def bench_non_inclusion(depth: int, n_leaves: int, k: int,
     t0 = time.time()
     round_trip()
     log(f"compile+first: {time.time()-t0:.1f}s")
+    from imt_tpu.utils.observability import trace
     t0 = time.time()
-    total = sum(round_trip() for _ in range(iters))
+    with trace(f"non_inclusion_d{depth}_k{k}"):
+        total = sum(round_trip() for _ in range(iters))
     dt = time.time() - t0
     log(f"{total} verified non-memberships in {dt:.3f}s")
     return iters * k / dt
@@ -268,11 +270,13 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int,
     ok = np.asarray(run(batches[0]))
     log(f"compile+first batch: {time.time()-t0:.1f}s "
         f"(accepted {ok.sum()}/{k})")
+    from imt_tpu.utils.observability import trace
     t0 = time.time()
     total = 0
-    for vals in batches[1:]:
-        total += int(np.asarray(run(vals)).sum())
-    np.asarray(tree.levels[-1])
+    with trace(f"batch_insert_d{depth}_k{k}{'_w' if witness else ''}"):
+        for vals in batches[1:]:
+            total += int(np.asarray(run(vals)).sum())
+        np.asarray(tree.levels[-1])
     dt = time.time() - t0
     log(f"{total} {'witness ' if witness else ''}inserts in {dt:.3f}s -> "
         f"{total/dt:,.0f} inserts/s (depth {depth}, batch {k})")

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 
 from ..ops import field
 from ..ops import hashing as poseidon_jax
+from ..utils.observability import GLOBAL_METRICS, log_event
 from .merkle import MerkleTree, compute_root_from_helpers
 
 # H(0,0,0): the empty-slot leaf hash, hard-coded by the reference chip
@@ -702,6 +703,7 @@ class IndexedMerkleTree:
         witness computation itself."""
         self._check_repr()
         queries, k = _as_limb_batch(values)
+        GLOBAL_METRICS.record_queries(k)
         f = _non_inclusion_witness_fn(self.tree_depth, k, self.tree_depth,
                                       self.node_repr)
         w = f(self.vals, self.next_vals, self.next_idxs, self.levels,
@@ -728,9 +730,13 @@ class IndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_val, jnp.int32(self.count))
         self.count += 1
+        GLOBAL_METRICS.record_hashes(2 + 2 * self.tree_depth)
         if not as_numpy:
+            GLOBAL_METRICS.record_submitted(1)
             return InsertWitness(**w)
-        return InsertWitness(ok=np.asarray(w["ok"]), **{
+        ok = np.asarray(w["ok"])
+        GLOBAL_METRICS.record_inserts(int(ok.sum()), 1 - int(ok.sum()))
+        return InsertWitness(ok=ok, **{
             k: v for k, v in w.items() if k != "ok"})
 
     def insert_batch(self, values, witness: bool = False,
@@ -758,16 +764,23 @@ class IndexedMerkleTree:
                 step(self.vals, self.next_vals, self.next_idxs, self.levels,
                      new_vals, jnp.int32(self.count))
             self.count += k
+            GLOBAL_METRICS.record_hashes(2 * k * (1 + self.tree_depth))
             if not as_numpy:
+                GLOBAL_METRICS.record_submitted(k)
                 return InsertWitness(**w)
-            return InsertWitness(ok=np.asarray(w["ok"]), **{
+            okw = np.asarray(w["ok"])
+            GLOBAL_METRICS.record_inserts(int(okw.sum()), k - int(okw.sum()))
+            return InsertWitness(ok=okw, **{
                 key: v for key, v in w.items() if key != "ok"})
         step = _insert_batch_fn(self.tree_depth, k, self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
         self.count += k
-        return np.asarray(ok)
+        ok = np.asarray(ok)
+        GLOBAL_METRICS.record_hashes(2 * k * (1 + self.tree_depth))
+        GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
+        return ok
 
     # -- serialization (checkpoint/resume; the serde-derive hook of the
     #    reference, src/utils.rs:12) ----------------------------------------

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import field
 from ..ops import hashing as poseidon_jax
+from ..utils.observability import GLOBAL_METRICS, log_event
 from . import indexed
 from .indexed import InsertWitness
 
@@ -69,6 +70,8 @@ class SparseIndexedMerkleTree:
         leaves = poseidon_jax.hash3_leaf(self.vals, self.next_vals,
                                          self.next_idxs)
         self.levels = indexed._build_levels_fn(ad, self.node_repr)(leaves)
+        GLOBAL_METRICS.record_hashes((2 << ad) - 1)
+        log_event("sparse_grow", active_depth=ad, slots=1 << ad)
         self.active_depth = ad
 
     # -- queries -------------------------------------------------------------
@@ -98,6 +101,7 @@ class SparseIndexedMerkleTree:
         (same contract as IndexedMerkleTree.non_inclusion_witness)."""
         self._check_repr()
         queries, k = indexed._as_limb_batch(values)
+        GLOBAL_METRICS.record_queries(k)
         f = indexed._non_inclusion_witness_fn(
             self.active_depth, k, self.tree_depth, self.node_repr)
         w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
@@ -149,9 +153,14 @@ class SparseIndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_val, jnp.int32(self.count))
         self.count += 1
+        # 2 leaf hashes + 2 active paths + 2 zero-spine folds (old+new root)
+        GLOBAL_METRICS.record_hashes(2 + 2 * self.tree_depth)
         if not as_numpy:
+            GLOBAL_METRICS.record_submitted(1)
             return InsertWitness(**w)
-        return InsertWitness(ok=np.asarray(w["ok"]), **{
+        ok = np.asarray(w["ok"])
+        GLOBAL_METRICS.record_inserts(int(ok.sum()), 1 - int(ok.sum()))
+        return InsertWitness(ok=ok, **{
             k: v for k, v in w.items() if k != "ok"})
 
     def insert_batch(self, values, witness: bool = False,
@@ -172,9 +181,14 @@ class SparseIndexedMerkleTree:
                 step(self.vals, self.next_vals, self.next_idxs, self.levels,
                      new_vals, jnp.int32(self.count))
             self.count += k
+            GLOBAL_METRICS.record_hashes(2 * k * (1 + self.active_depth))
             if not as_numpy:
+                GLOBAL_METRICS.record_submitted(k)
                 return indexed.InsertWitness(**w)
-            return indexed.InsertWitness(ok=np.asarray(w["ok"]), **{
+            okw = np.asarray(w["ok"])
+            GLOBAL_METRICS.record_inserts(int(okw.sum()),
+                                          k - int(okw.sum()))
+            return indexed.InsertWitness(ok=okw, **{
                 key: v for key, v in w.items() if key != "ok"})
         step = indexed._insert_batch_fn(self.active_depth, k,
                                         self.node_repr)
@@ -182,7 +196,10 @@ class SparseIndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
         self.count += k
-        return np.asarray(ok)
+        ok = np.asarray(ok)
+        GLOBAL_METRICS.record_hashes(2 * k * (1 + self.active_depth))
+        GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
+        return ok
 
     # -- serialization -------------------------------------------------------
 

@@ -31,6 +31,8 @@ class Metrics:
     permutations: int = 0
     inserts: int = 0
     inserts_rejected: int = 0
+    inserts_submitted: int = 0
+    non_inclusion_queries: int = 0
     _start: float = field(default_factory=time.time)
 
     def record_hashes(self, n: int) -> None:
@@ -40,6 +42,14 @@ class Metrics:
     def record_inserts(self, accepted: int, rejected: int = 0) -> None:
         self.inserts += accepted
         self.inserts_rejected += rejected
+
+    def record_submitted(self, n: int) -> None:
+        """Inserts dispatched whose acceptance stays device-resident
+        (as_numpy=False paths): counted without forcing a host sync."""
+        self.inserts_submitted += n
+
+    def record_queries(self, n: int) -> None:
+        self.non_inclusion_queries += n
 
     def rates(self) -> dict:
         dt = max(time.time() - self._start, 1e-9)
@@ -56,6 +66,8 @@ class Metrics:
             "permutations": self.permutations,
             "inserts": self.inserts,
             "inserts_rejected": self.inserts_rejected,
+            "inserts_submitted": self.inserts_submitted,
+            "non_inclusion_queries": self.non_inclusion_queries,
             **self.rates(),
         }
 

@@ -99,6 +99,38 @@ def test_config_and_metrics():
     assert snap["perms_per_s"] > 0
 
 
+def test_config_builds_engine_and_engine_updates_metrics():
+    """EngineConfig actually drives construction, and the engine paths
+    actually update GLOBAL_METRICS (insert / insert_batch / queries)."""
+    import pytest
+
+    from imt_tpu.tree.indexed import IndexedMerkleTree
+    from imt_tpu.tree.sparse import SparseIndexedMerkleTree
+    from imt_tpu.utils.config import PoseidonConfig
+    from imt_tpu.utils.observability import GLOBAL_METRICS
+
+    # unsupported Poseidon spec is rejected (bit-exactness pin)
+    with pytest.raises(ValueError):
+        EngineConfig(poseidon=PoseidonConfig(r_p=56)).apply()
+
+    t = EngineConfig(tree_depth=4, mesh_devices=0).build_tree()
+    assert isinstance(t, IndexedMerkleTree)
+    ts = EngineConfig(tree_depth=24, mesh_devices=0,
+                      initial_capacity_log2=3).build_tree()
+    assert isinstance(ts, SparseIndexedMerkleTree)
+
+    before = GLOBAL_METRICS.snapshot()
+    t.insert(7)
+    ok = t.insert_batch([9, 9])           # one accepted, one duplicate
+    assert list(ok) == [True, False]
+    t.non_inclusion_witness([8])
+    after = GLOBAL_METRICS.snapshot()
+    assert after["inserts"] == before["inserts"] + 2
+    assert after["inserts_rejected"] == before["inserts_rejected"] + 1
+    assert after["non_inclusion_queries"] == before["non_inclusion_queries"] + 1
+    assert after["hashes"] > before["hashes"]
+
+
 def test_trace_scope(tmp_path):
     import jax.numpy as jnp
 
