@@ -79,19 +79,29 @@ def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
                                       layout=layout)
                     return st[:, :1]
                 return f
-            times = {}
+            # Median-of-rounds: single slope measurements on this chip
+            # spread up to +-8% (shared tunnel); interleaved rounds +
+            # median keep the reported number honest and stable.
+            import statistics
+            fns = {}
             for k in (k1, k2):
                 f = make_chain(k)
                 t0 = time.time()
                 np.asarray(f(jnp.uint32(1)))
                 log(f"K={k}: compile+first {time.time()-t0:.0f}s")
-                t0 = time.time()
-                np.asarray(f(jnp.uint32(2)))
-                times[k] = time.time() - t0
-                log(f"K={k}: run {times[k]*1e3:.1f} ms")
-            slope = (times[k2] - times[k1]) / (k2 - k1)
-            rate = batch / slope
-            log(f"{slope*1e3:.2f} ms/permutation-batch -> {rate/1e6:.3f} M perms/s")
+                fns[k] = f
+            rates = []
+            for r in range(5):
+                times = {}
+                for k in (k1, k2):
+                    t0 = time.time()
+                    np.asarray(fns[k](jnp.uint32(2 + r)))
+                    times[k] = time.time() - t0
+                slope = (times[k2] - times[k1]) / (k2 - k1)
+                rates.append(batch / slope)
+                log(f"round {r}: {rates[-1]/1e6:.3f} M perms/s")
+            rate = statistics.median(rates)
+            log(f"median of {len(rates)}: {rate/1e6:.3f} M perms/s")
             return rate
     elif engine == "rns":
         from imt_tpu.ops.poseidon_rns import PoseidonRns

@@ -19,13 +19,22 @@ from ..ops.poseidon_ref import generate_params
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "imt_native.cpp")
-_LIB = os.path.join(_DIR, "libimt_native.so")
+# IMT_NATIVE_SAN=1 builds/loads an AddressSanitizer+UBSan instrumented
+# variant (the SURVEY §5 sanitizer job; run under LD_PRELOAD=libasan.so —
+# see tests/test_sanitizers.py)
+_SAN = os.environ.get("IMT_NATIVE_SAN") == "1"
+_LIB = os.path.join(_DIR, "libimt_native_asan.so" if _SAN
+                    else "libimt_native.so")
 
 _lib = None
 
 
 def _build() -> None:
-    cmd = ["g++", "-O2", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    cmd = ["g++", "-O2", "-march=native", "-shared", "-fPIC"]
+    if _SAN:
+        cmd += ["-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+                "-g"]
+    cmd += ["-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
