@@ -56,6 +56,56 @@ from .merkle import MerkleTree, compute_root_from_helpers
 # (src/indexed_merkle_tree.rs:247-251).
 ZERO_LEAF_HASH = 1960587138944869480785025106734196872454309951825657414575195034687326603497
 
+# Fail-fast witness checking — the reference runs assert_eq! during witness
+# generation (src/indexed_merkle_tree.rs:158-167, :190, :213-217) so a bad
+# witness dies before the prover does.  With this flag on (IMT_DEBUG_WITNESS=1
+# or EngineConfig(debug_witness=True)), every materialized witness bundle is
+# immediately re-verified by the insert_leaf / verify_non_inclusion predicate
+# and an AssertionError raised if any accepted lane fails.
+import os as _os
+
+_debug_witness = _os.environ.get("IMT_DEBUG_WITNESS") == "1"
+
+
+def set_debug_witness(on: bool) -> None:
+    global _debug_witness
+    _debug_witness = bool(on)
+
+
+def debug_witness_enabled() -> bool:
+    return _debug_witness
+
+
+def check_insert_witness(w: "InsertWitness") -> None:
+    """Raise AssertionError if any accepted lane of `w` fails insert_leaf."""
+    ok = np.asarray(w.ok)
+    pred = np.asarray(insert_leaf(
+        w.old_root, w.low_leaf_val, w.low_leaf_next_val, w.low_leaf_next_idx,
+        w.low_leaf_proof, w.low_leaf_proof_helper, w.new_root,
+        w.new_leaf_val, w.new_leaf_next_val, w.new_leaf_next_idx,
+        jnp.asarray(np.asarray(w.new_leaf_index)), w.new_leaf_proof,
+        w.new_leaf_proof_helper,
+        jnp.asarray(np.asarray(w.is_new_leaf_largest))))
+    bad = ok & ~pred
+    if bad.any():
+        raise AssertionError(
+            f"witness-generation inconsistency: insert_leaf predicate "
+            f"rejected accepted lanes {np.nonzero(bad)[0].tolist()}")
+
+
+def check_non_inclusion_witness(w: "NonInclusionWitness", queries) -> None:
+    """Raise AssertionError if any ok lane of `w` fails verify_non_inclusion."""
+    ok = np.asarray(w.ok)
+    pred = np.asarray(verify_non_inclusion(
+        w.root, w.low_leaf_val, w.low_leaf_next_val, w.low_leaf_next_idx,
+        w.low_leaf_proof, w.low_leaf_proof_helper, jnp.asarray(queries),
+        jnp.asarray(np.asarray(w.is_new_leaf_largest))))
+    bad = ok & ~pred
+    if bad.any():
+        raise AssertionError(
+            f"witness-generation inconsistency: verify_non_inclusion "
+            f"rejected ok lanes {np.nonzero(bad)[0].tolist()}")
+
 
 @dataclass
 class InsertWitness:
@@ -137,18 +187,47 @@ def _gather_proof(levels, idx, depth: int):
     return jnp.stack(proof)[:, :, None], jnp.stack(helpers)[:, None]
 
 
+def _batch_hash_count(depth: int, k: int) -> int:
+    """Fixed-length hashes one insert_batch performs (metrics accounting),
+    mirroring _update_paths' static width switch."""
+    d_width, total, full = 2 * k, 2 * k, False
+    for d in range(depth):
+        w = (1 << depth) >> d
+        if full or d_width >= w // 2:
+            full = True
+            total += w // 2
+        else:
+            total += d_width
+    return total
+
+
 def _update_paths(levels, dirty_idx, dirty_leaves, depth: int):
     """Scatter updated leaves, then recompute ancestor nodes level-by-level.
 
     dirty_idx: int32[D]; dirty_leaves: [16, D].  Parents are recomputed from
     already-updated children, so duplicate or spurious dirty entries are
     idempotent-safe (they just rewrite the same value).  D stays static, so
-    one compiled program serves any batch content."""
+    one compiled program serves any batch content.
+
+    Width switch: once the dirty set covers at least half a level's width
+    (D >= width/2), recomputing the WHOLE level is at most the same number
+    of hashes and drops the gather/scatter traffic entirely; widths decay
+    geometrically above that point, so a batch of K inserts costs
+    ~2K x crossover_depth + width(crossover) hashes instead of
+    2K x depth — 4-5x fewer for the BASELINE config-4/5 shapes.  The
+    decision is static (shapes only): one compiled program per (depth, D)."""
+    d_width = dirty_idx.shape[0]
     new_levels = [levels[0].at[:, dirty_idx].set(dirty_leaves)]
     cur_idx = dirty_idx
     for d in range(depth):
-        parent_idx = cur_idx >> 1
         level = new_levels[d]
+        if cur_idx is None or d_width >= level.shape[1] // 2:
+            # full-level rebuild: every parent recomputed, no indexing
+            parent = poseidon_jax.hash2_nodes(level[:, 0::2], level[:, 1::2])
+            new_levels.append(parent)
+            cur_idx = None
+            continue
+        parent_idx = cur_idx >> 1
         left = jnp.take(level, parent_idx * 2, axis=1)
         right = jnp.take(level, parent_idx * 2 + 1, axis=1)
         parent = poseidon_jax.hash2_nodes(left, right)
@@ -710,8 +789,11 @@ class IndexedMerkleTree:
               jnp.asarray(queries))
         if not as_numpy:
             return NonInclusionWitness(**w)
-        return NonInclusionWitness(ok=np.asarray(w["ok"]), **{
+        wit = NonInclusionWitness(ok=np.asarray(w["ok"]), **{
             key: v for key, v in w.items() if key != "ok"})
+        if _debug_witness:
+            check_non_inclusion_witness(wit, queries)
+        return wit
 
     # -- mutation ------------------------------------------------------------
 
@@ -736,8 +818,11 @@ class IndexedMerkleTree:
             return InsertWitness(**w)
         ok = np.asarray(w["ok"])
         GLOBAL_METRICS.record_inserts(int(ok.sum()), 1 - int(ok.sum()))
-        return InsertWitness(ok=ok, **{
+        wit = InsertWitness(ok=ok, **{
             k: v for k, v in w.items() if k != "ok"})
+        if _debug_witness:
+            check_insert_witness(wit)
+        return wit
 
     def insert_batch(self, values, witness: bool = False,
                      as_numpy: bool = True):
@@ -770,15 +855,18 @@ class IndexedMerkleTree:
                 return InsertWitness(**w)
             okw = np.asarray(w["ok"])
             GLOBAL_METRICS.record_inserts(int(okw.sum()), k - int(okw.sum()))
-            return InsertWitness(ok=okw, **{
+            wit = InsertWitness(ok=okw, **{
                 key: v for key, v in w.items() if key != "ok"})
+            if _debug_witness:
+                check_insert_witness(wit)
+            return wit
         step = _insert_batch_fn(self.tree_depth, k, self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
         self.count += k
         ok = np.asarray(ok)
-        GLOBAL_METRICS.record_hashes(2 * k * (1 + self.tree_depth))
+        GLOBAL_METRICS.record_hashes(_batch_hash_count(self.tree_depth, k))
         GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
         return ok
 

@@ -107,8 +107,11 @@ class SparseIndexedMerkleTree:
         w = f(self.vals, self.next_vals, self.next_idxs, self.levels, queries)
         if not as_numpy:
             return indexed.NonInclusionWitness(**w)
-        return indexed.NonInclusionWitness(ok=np.asarray(w["ok"]), **{
+        wit = indexed.NonInclusionWitness(ok=np.asarray(w["ok"]), **{
             key: v for key, v in w.items() if key != "ok"})
+        if indexed._debug_witness:
+            indexed.check_non_inclusion_witness(wit, queries)
+        return wit
 
     def get_proof(self, index: int):
         """Full-depth Merkle proof of the leaf at `index`: the active-prefix
@@ -160,8 +163,11 @@ class SparseIndexedMerkleTree:
             return InsertWitness(**w)
         ok = np.asarray(w["ok"])
         GLOBAL_METRICS.record_inserts(int(ok.sum()), 1 - int(ok.sum()))
-        return InsertWitness(ok=ok, **{
+        wit = InsertWitness(ok=ok, **{
             k: v for k, v in w.items() if k != "ok"})
+        if indexed._debug_witness:
+            indexed.check_insert_witness(wit)
+        return wit
 
     def insert_batch(self, values, witness: bool = False,
                      as_numpy: bool = True):
@@ -188,8 +194,11 @@ class SparseIndexedMerkleTree:
             okw = np.asarray(w["ok"])
             GLOBAL_METRICS.record_inserts(int(okw.sum()),
                                           k - int(okw.sum()))
-            return indexed.InsertWitness(ok=okw, **{
+            wit = indexed.InsertWitness(ok=okw, **{
                 key: v for key, v in w.items() if key != "ok"})
+            if indexed._debug_witness:
+                indexed.check_insert_witness(wit)
+            return wit
         step = indexed._insert_batch_fn(self.active_depth, k,
                                         self.node_repr)
         (self.vals, self.next_vals, self.next_idxs, self.levels), ok = step(
@@ -197,7 +206,8 @@ class SparseIndexedMerkleTree:
             new_vals, jnp.int32(self.count))
         self.count += k
         ok = np.asarray(ok)
-        GLOBAL_METRICS.record_hashes(2 * k * (1 + self.active_depth))
+        GLOBAL_METRICS.record_hashes(
+            indexed._batch_hash_count(self.active_depth, k))
         GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
         return ok
 

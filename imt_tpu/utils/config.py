@@ -36,6 +36,9 @@ class EngineConfig:
     # mesh: 0 devices = single-device tree; None = all visible devices
     mesh_axis: str = "shard"
     mesh_devices: int | None = 0
+    # fail-fast witness re-verification (the reference's prover-side
+    # assert_eq! discipline, src/indexed_merkle_tree.rs:158-167)
+    debug_witness: bool = False
 
     def apply(self) -> None:
         """Validate and install the global knobs this config carries.
@@ -50,6 +53,8 @@ class EngineConfig:
         from ..ops import hashing
         hashing.set_backend(
             None if self.hash_engine == "auto" else self.hash_engine)
+        from ..tree import indexed
+        indexed.set_debug_witness(self.debug_witness)
         from .observability import log_event
         log_event("engine_config", depth=self.tree_depth,
                   engine=self.hash_engine, batch=self.batch_size,

@@ -132,3 +132,23 @@ def test_single_element_batch_equals_insert():
     assert wb.ok.all()
     _assert_lane_parity(wb, seq_ws)
     assert t_b.get_root_int() == t_seq.get_root_int()
+
+
+def test_debug_witness_fail_fast():
+    """IMT_DEBUG_WITNESS mode: good witnesses pass silently; a corrupted
+    bundle raises (the reference's prover-side assert_eq! discipline,
+    src/indexed_merkle_tree.rs:158-167)."""
+    indexed.set_debug_witness(True)
+    try:
+        t = indexed.IndexedMerkleTree(3)
+        w = t.insert(7)                                  # checked, passes
+        wb = t.insert_batch([9, 11], witness=True)       # checked, passes
+        t.non_inclusion_witness([8])                     # checked, passes
+        # corrupt: claim a different new_root on an accepted lane
+        import dataclasses
+        bad = dataclasses.replace(
+            wb, new_root=np.asarray(wb.new_root) ^ 1)
+        with pytest.raises(AssertionError, match="inconsistency"):
+            indexed.check_insert_witness(bad)
+    finally:
+        indexed.set_debug_witness(False)
