@@ -46,7 +46,7 @@ def _setup_jax():
     return jax
 
 
-def bench_perms(batch: int, engine: str, k1: int = 4, k2: int = 16) -> float:
+def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6) -> float:
     jax = _setup_jax()
     import jax.numpy as jnp
     import numpy as np
@@ -407,7 +407,7 @@ def main() -> None:
 
     if args.smoke:
         args.batch = 2048
-        rate = bench_perms(args.batch, args.engine, k1=2, k2=6)
+        rate = bench_perms(args.batch, args.engine, k1=1, k2=3)
     else:
         rate = bench_perms(args.batch, args.engine)
     print(json.dumps({
