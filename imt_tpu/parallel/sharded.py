@@ -217,3 +217,23 @@ class ShardedIndexedMerkleTree:
 
     def to_arrays(self) -> dict:
         return self._inner.to_arrays()
+
+    @classmethod
+    def from_arrays(cls, arrays: dict, mesh: Mesh | None = None
+                    ) -> "ShardedIndexedMerkleTree":
+        """Resume a checkpoint onto a mesh: rebuild the inner tree from the
+        leaf SoA (the reference's rebuild discipline,
+        src/indexed_merkle_tree.rs:726-730), then place state shard-wise."""
+        from ..tree.indexed import IndexedMerkleTree
+        from ..tree.sparse import SparseIndexedMerkleTree
+        sparse = bool(int(arrays.get("sparse", 0)))
+        inner = (SparseIndexedMerkleTree.from_arrays(arrays) if sparse
+                 else IndexedMerkleTree.from_arrays(arrays))
+        self = cls.__new__(cls)
+        self._mesh = mesh or make_mesh()
+        self.sparse = sparse
+        self._inner = inner
+        self._shard = NamedSharding(self._mesh, P(None, "shard"))
+        self._repl = NamedSharding(self._mesh, P())
+        self._place()
+        return self

@@ -82,3 +82,27 @@ def test_sharded_paths_subprocess():
                          cwd=os.path.dirname(here))
     assert out.returncode == 0, out.stderr[-3000:]
     assert "SHARDED-OK" in out.stdout
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """ShardedIndexedMerkleTree: checkpoint on one mesh, resume on another
+    (here the same 1-device mesh), same roots and further inserts agree."""
+    import numpy as np
+    from imt_tpu.parallel.sharded import ShardedIndexedMerkleTree, make_mesh
+    from imt_tpu.utils import checkpoint
+
+    mesh = make_mesh(1)
+    t = ShardedIndexedMerkleTree(24, mesh=mesh, sparse=True,
+                                 initial_capacity_log2=3)
+    t.insert_batch([30, 10, 20])
+    path = str(tmp_path / "sharded.npz")
+    checkpoint.save(t, path)
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    r = ShardedIndexedMerkleTree.from_arrays(arrays, mesh=mesh)
+    assert r.sparse and r.count == t.count
+    assert r.get_root_int() == t.get_root_int()
+    r.insert_batch([5])
+    t.insert_batch([5])
+    assert r.get_root_int() == t.get_root_int()
