@@ -198,25 +198,30 @@ def bench_non_inclusion(depth: int, n_leaves: int, k: int,
     verify = jax.jit(indexed.verify_non_inclusion)   # eager would pay the
     # tunnel's ~300ms RPC per op; one jitted program instead
 
-    def round_trip():
-        qs = [rng.randrange(1, 1 << 253) for _ in range(k)]
-        # pack once; witness stays on device and chains straight into the
-        # jitted verifier (no host round trip through the tunnel)
-        qlimbs = jax.numpy.asarray(field.ints_to_limbs(qs))
+    # pre-pack all query batches: python-bigint -> limb packing is host work
+    # that would otherwise sit inside the timed loop
+    qbatches = [jax.numpy.asarray(field.ints_to_limbs(
+        [rng.randrange(1, 1 << 253) for _ in range(k)]))
+        for _ in range(iters + 1)]
+
+    def round_trip(qlimbs):
+        # witness stays on device and chains straight into the jitted
+        # verifier (no host round trip through the tunnel)
         w = tree.non_inclusion_witness(qlimbs, as_numpy=False)
-        ok = verify(
+        return verify(
             w.root, w.low_leaf_val, w.low_leaf_next_val, w.low_leaf_next_idx,
             w.low_leaf_proof, w.low_leaf_proof_helper, qlimbs,
             w.is_new_leaf_largest)
-        return int(np.asarray(ok).sum())
 
     t0 = time.time()
-    round_trip()
+    np.asarray(round_trip(qbatches[0]))
     log(f"compile+first: {time.time()-t0:.1f}s")
     from imt_tpu.utils.observability import trace
     t0 = time.time()
     with trace(f"non_inclusion_d{depth}_k{k}"):
-        total = sum(round_trip() for _ in range(iters))
+        oks = [round_trip(q) for q in qbatches[1:]]     # async dispatch
+        import jax.numpy as jnp
+        total = int(np.asarray(jnp.stack(oks)).sum())   # ONE final transfer
     dt = time.time() - t0
     log(f"{total} verified non-memberships in {dt:.3f}s")
     return iters * k / dt
@@ -271,22 +276,25 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int,
         for _ in range(iters + 1)]
 
     def run(vals):
-        if witness:
-            w = tree.insert_batch(vals, witness=True, as_numpy=False)
-            return w.ok
-        return tree.insert_batch(vals)
+        # as_numpy=False: acceptance stays on device so chained batches
+        # pipeline under async dispatch — one host sync per batch costs
+        # ~25-30 ms of tunnel RPC, more than the step's device time
+        return tree.insert_batch(vals, witness=witness, as_numpy=False)
 
     t0 = time.time()
-    ok = np.asarray(run(batches[0]))
+    first = run(batches[0])
+    ok = np.asarray(first.ok if witness else first)
     log(f"compile+first batch: {time.time()-t0:.1f}s "
         f"(accepted {ok.sum()}/{k})")
     from imt_tpu.utils.observability import trace
     t0 = time.time()
-    total = 0
+    oks = []
     with trace(f"batch_insert_d{depth}_k{k}{'_w' if witness else ''}"):
         for vals in batches[1:]:
-            total += int(np.asarray(run(vals)).sum())
-        np.asarray(tree.levels[-1])
+            out = run(vals)
+            oks.append(out.ok if witness else out)
+        import jax.numpy as jnp
+        total = int(np.asarray(jnp.stack(oks)).sum())   # ONE final transfer
     dt = time.time() - t0
     log(f"{total} {'witness ' if witness else ''}inserts in {dt:.3f}s -> "
         f"{total/dt:,.0f} inserts/s (depth {depth}, batch {k})")

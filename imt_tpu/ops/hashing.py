@@ -53,6 +53,20 @@ def backend() -> str:
         else "rns"
 
 
+def _tile_for(width: int) -> int:
+    """Pallas tile for a batch width.  Large widths use the swept default;
+    small widths share ONE tile-128 kernel structure (padded lanes), which
+    replaces the unfused XLA path on the top-of-tree levels — those tiny
+    per-level hashes cost ~65 HBM round-trips each under XLA and dominated
+    the batched-insert wall time (tools/profile_batch.py)."""
+    from . import poseidon_rns_pallas as pk
+    if width >= pk.DEFAULT_TILE:
+        return pk.DEFAULT_TILE
+    if width >= 2048:
+        return 2048
+    return 128
+
+
 def _mod(batch: int):
     name = backend()
     if name == "pallas" and batch < PALLAS_MIN_BATCH:
@@ -118,13 +132,14 @@ def dec_nodes(nodes):
 
 
 def hash2_nodes(a, b):
-    """Batched 2-to-1 hash, node representation in AND out."""
+    """Batched 2-to-1 hash, node representation in AND out.  On the pallas
+    backend EVERY width runs the fused kernel (width-scaled tile, small
+    widths padded to 128 lanes) — no XLA fallback on narrow tree levels."""
     if node_repr() == "limbs":
         return hash2(a, b)
-    name = backend()
-    if name == "pallas" and a.shape[-1] >= PALLAS_MIN_BATCH:
+    if backend() == "pallas":
         from . import poseidon_rns_pallas as pk
-        return pk.hash2_nodes(a, b)
+        return pk.hash2_nodes(a, b, t_tile=_tile_for(a.shape[-1]))
     from . import poseidon_rns
     return poseidon_rns.hash2_nodes(a, b)
 
@@ -134,10 +149,9 @@ def hash3_leaf(a, b, c):
     node-representation output."""
     if node_repr() == "limbs":
         return hash3(a, b, c)
-    name = backend()
-    if name == "pallas" and a.shape[-1] >= PALLAS_MIN_BATCH:
+    if backend() == "pallas":
         from . import poseidon_rns_pallas as pk
-        return pk.hash3_leaf(a, b, c)
+        return pk.hash3_leaf(a, b, c, t_tile=_tile_for(a.shape[-1]))
     from . import poseidon_rns
     return poseidon_rns.hash3_leaf(a, b, c)
 

@@ -835,8 +835,13 @@ class IndexedMerkleTree:
         InsertWitness bundle (the reference insert_leaf chip's arguments,
         src/indexed_merkle_tree.rs:231-244), bit-identical on accepted lanes
         to sequential insertion, computed level-synchronously in ONE jitted
-        call (see tree/batch_witness.py).  as_numpy=False keeps the witness
-        device-resident for chaining into the insert_leaf predicate."""
+        call (see tree/batch_witness.py).
+
+        as_numpy=False keeps the result device-resident (the acceptance
+        mask, and with witness=True the whole bundle): chained batches then
+        pipeline under async dispatch instead of paying a host round trip
+        per batch — through the axon tunnel one such sync costs ~25-30 ms,
+        more than the step's device time."""
         self._check_repr()
         new_vals, k = _as_limb_batch(values)
         if self.count + k >= self.num_slots:
@@ -865,8 +870,11 @@ class IndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
         self.count += k
-        ok = np.asarray(ok)
         GLOBAL_METRICS.record_hashes(_batch_hash_count(self.tree_depth, k))
+        if not as_numpy:
+            GLOBAL_METRICS.record_submitted(k)
+            return ok
+        ok = np.asarray(ok)
         GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
         return ok
 

@@ -205,9 +205,12 @@ class SparseIndexedMerkleTree:
             self.vals, self.next_vals, self.next_idxs, self.levels,
             new_vals, jnp.int32(self.count))
         self.count += k
-        ok = np.asarray(ok)
         GLOBAL_METRICS.record_hashes(
             indexed._batch_hash_count(self.active_depth, k))
+        if not as_numpy:
+            GLOBAL_METRICS.record_submitted(k)
+            return ok
+        ok = np.asarray(ok)
         GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
         return ok
 
