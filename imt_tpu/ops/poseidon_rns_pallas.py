@@ -36,9 +36,10 @@ from . import field_rns
 from .poseidon_rns import _constants
 
 N_CH = 48          # 2n residue channels
-# split/bf16 tile sweep (2026-08-19, batch 65536): 1024 -> 7.68M,
-# 2048 -> 7.78M, 4096 -> 8.13M, 8192 -> 8.06M, 16384 -> 7.71M perms/s.
-DEFAULT_TILE = 4096
+# split/bf16 interleaved-median tile A/B (2026-08-19, batch 65536,
+# tools/ab_kernel.py): 2048 -> 7.88M, 4096 -> 7.67M, 8192 -> 7.59M perms/s
+# (the earlier one-shot sweep suggesting 4096 was measurement noise).
+DEFAULT_TILE = 2048
 # extension-dot flavor: "bf16" (8-bit digit blocks + fused est row) or
 # "int8" (7-bit digit blocks on the int8 MXU path).  bf16 WINS despite
 # int8's 2x MXU rate: these dots are tiny ([73,48]@[48,3T] — shape-bound,
