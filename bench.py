@@ -227,30 +227,37 @@ def bench_non_inclusion(depth: int, n_leaves: int, k: int,
     return iters * k / dt
 
 
-def bench_single_insert(depth: int, iters: int) -> float:
-    """BASELINE config 3: sequential witness inserts/s, depth-16 tree."""
+def bench_single_insert(depth: int, iters: int, chunk: int = 16) -> float:
+    """BASELINE config 3: sequential witness inserts/s, depth-16 tree.
+
+    Strictly sequential semantics (each insert sees the previous one's tree,
+    full witness bundle per insert — reference src/indexed_merkle_tree.rs:
+    710-802), dispatched in scan-chained chunks (insert_seq): one tunnel
+    RPC per `chunk` inserts instead of one per insert.  Witnesses are
+    bit-identical to per-call insert() (tests/test_chained.py)."""
     _setup_jax()
     import random
     import numpy as np
+    from imt_tpu.ops import field
     from imt_tpu.tree.sparse import SparseIndexedMerkleTree
 
     tree = SparseIndexedMerkleTree(depth, initial_capacity_log2=12)
     rng = random.Random(0xF00D)
+    chunks = [field.ints_to_limbs(
+        [rng.randrange(1, 1 << 253) for _ in range(chunk)])
+        for _ in range(iters // chunk + 1)]
     t0 = time.time()
-    tree.insert(rng.randrange(1, 1 << 253))
-    log(f"compile+first: {time.time()-t0:.1f}s")
-    # values pre-drawn so host RNG work stays out of the timed loop; witness
-    # stays device-resident (as_numpy=False) so the chained insert steps
-    # pipeline under async dispatch instead of syncing per insert
-    values = [rng.randrange(1, 1 << 253) for _ in range(iters)]
+    tree.insert_seq(chunks[0])
+    log(f"compile+first chunk: {time.time()-t0:.1f}s")
     t0 = time.time()
-    for v in values:
-        w = tree.insert(v, as_numpy=False)
+    for c in chunks[1:]:
+        w = tree.insert_seq(c, as_numpy=False)
     np.asarray(w.new_root)
     np.asarray(w.ok)
     dt = time.time() - t0
-    log(f"{iters} witness inserts in {dt:.3f}s (depth {depth})")
-    return iters / dt
+    n = chunk * (len(chunks) - 1)
+    log(f"{n} witness inserts in {dt:.3f}s (depth {depth}, chunk {chunk})")
+    return n / dt
 
 
 def bench_batch_insert_sparse(depth: int, k: int, iters: int,
@@ -275,30 +282,53 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int,
         [rng.randrange(1, 1 << 253) for _ in range(k)])
         for _ in range(iters + 1)]
 
-    def run(vals):
-        # as_numpy=False: acceptance stays on device so chained batches
-        # pipeline under async dispatch — one host sync per batch costs
-        # ~25-30 ms of tunnel RPC, more than the step's device time
-        return tree.insert_batch(vals, witness=witness, as_numpy=False)
+    if witness:
+        def run(vals):
+            # as_numpy=False: the whole witness bundle stays device-resident
+            # so chained batches pipeline under async dispatch
+            return tree.insert_batch(vals, witness=True, as_numpy=False)
 
+        t0 = time.time()
+        ok = np.asarray(run(batches[0]).ok)
+        log(f"compile+first batch: {time.time()-t0:.1f}s "
+            f"(accepted {ok.sum()}/{k})")
+        from imt_tpu.utils.observability import trace
+        t0 = time.time()
+        oks = []
+        with trace(f"batch_insert_d{depth}_k{k}_w"):
+            for vals in batches[1:]:
+                oks.append(run(vals).ok)
+            import jax.numpy as jnp
+            total = int(np.asarray(jnp.stack(oks)).sum())  # ONE final sync
+        dt = time.time() - t0
+        log(f"{total} witness inserts in {dt:.3f}s -> "
+            f"{total/dt:,.0f} inserts/s (depth {depth}, batch {k})")
+        return total / dt
+
+    # plain batches: scan-chained groups (insert_batches) — one tunnel
+    # dispatch per `group` batches; state-identical to per-call insert_batch
+    # (tests/test_chained.py)
+    group = 1 if iters < 8 else 4
+    groups = [np.stack(batches[i:i + group])
+              for i in range(0, iters + 1 - group + 1, group)]
     t0 = time.time()
-    first = run(batches[0])
-    ok = np.asarray(first.ok if witness else first)
-    log(f"compile+first batch: {time.time()-t0:.1f}s "
-        f"(accepted {ok.sum()}/{k})")
+    ok = np.asarray(tree.insert_batches(groups[0]))
+    log(f"compile+first group of {group}: {time.time()-t0:.1f}s "
+        f"(accepted {ok.sum()}/{group * k})")
     from imt_tpu.utils.observability import trace
     t0 = time.time()
     oks = []
-    with trace(f"batch_insert_d{depth}_k{k}{'_w' if witness else ''}"):
-        for vals in batches[1:]:
-            out = run(vals)
-            oks.append(out.ok if witness else out)
+    with trace(f"batch_insert_d{depth}_k{k}"):
+        for arr in groups[1:]:
+            oks.append(tree.insert_batches(arr, as_numpy=False))
         import jax.numpy as jnp
-        total = int(np.asarray(jnp.stack(oks)).sum())   # ONE final transfer
+        total = int(np.asarray(jnp.concatenate(oks)).sum())  # ONE final sync
     dt = time.time() - t0
-    log(f"{total} {'witness ' if witness else ''}inserts in {dt:.3f}s -> "
-        f"{total/dt:,.0f} inserts/s (depth {depth}, batch {k})")
-    return total / dt
+    n_done = group * len(groups[1:]) * k
+    log(f"{total} inserts in {dt:.3f}s -> "
+        f"{n_done/dt:,.0f} inserts/s (depth {depth}, batch {k}, "
+        f"group {group})")
+    return n_done / dt
 
 
 def bench_oracle(batch: int, iters: int) -> float:
@@ -338,7 +368,9 @@ def config_result(cfg: str, smoke: bool = False) -> dict:
         metric, unit = ("witness-batch inserts/s (depth 16, batch 4096, "
                         "full insert_leaf bundles)", "inserts/s")
     elif cfg == "4":
-        rate = bench_batch_insert_sparse(24, 4096, 2 if smoke else 8)
+        # iters=14 keeps the active prefix at 2^16 (15 batches of 4096),
+        # matching the round-2 artifact's shape
+        rate = bench_batch_insert_sparse(24, 4096, 2 if smoke else 14)
         metric, unit = "batched inserts/s (depth 24, batch 4096)", "inserts/s"
     else:
         k, iters = (4096, 2) if smoke else (65536, 15)

@@ -62,8 +62,6 @@ def _tile_for(width: int) -> int:
     from . import poseidon_rns_pallas as pk
     if width >= pk.DEFAULT_TILE:
         return pk.DEFAULT_TILE
-    if width >= 2048:
-        return 2048
     return 128
 
 

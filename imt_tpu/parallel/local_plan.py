@@ -1,0 +1,281 @@
+"""Shard-local batched-insert planner — O(K) collectives regardless of N.
+
+tools/collective_inventory.py measures that GSPMD partitions the global
+9-key sort of `_insert_batch_fn` by ALL-GATHERING the full [16, N] value
+array (plus an all-reduce of the [16, N+K] sorted product): fine at toy
+sizes, fatal at BASELINE config-5 scale (67 MB per step per device).  This
+module is the mitigation SCALING.md §3 names: plan locally, exchange only
+O(K) candidates.
+
+Algorithm (mesh of D shards, each owning C = N/D contiguous slots):
+
+1. LOCAL candidate search (distributed sort work, C+K rows per shard):
+   one 9-key packed sort of [local slots + queries] per shard yields, per
+   query q, the shard-local candidates
+     below1 = largest local participant with value <= q   (ties: equal
+              values sort BEFORE the query, so below1 catches duplicates)
+     above1 = smallest local participant with value  > q
+2. EXCHANGE: all_gather of the candidate (val, slot, found) triples —
+   2 × D × K × 68 B, independent of N.
+3. REPLICATED reduced planning: lexicographic max/min across shards give
+   the global below1/above1 per query; the entry table
+   [sentinel, below1*, above1*, new values] (3K+1 rows) is run through the
+   same sort/eq_prev/cummax-cummin planner as `_plan_batch`.  Proof of
+   sufficiency: every pointer that can change belongs to a below1/above1
+   candidate (if some non-included participant sat between a rewritten
+   entry and its new successor, it would itself be a below1/above1 of that
+   successor — contradiction), and an existing entry's pointers are written
+   ONLY when its reduced-order successor is an accepted NEW entry, so
+   entries whose true neighborhood was not gathered are never touched.
+4. LOCAL application: each shard scatters the rows it owns (new slots +
+   flagged candidates), the ≤ 3K+1 dirty leaf hashes are computed SHARDED
+   (each shard hashes its 1/D slice, one all_gather of the [48, ·] hash
+   columns), the local subtree updates dirty paths level-by-level, and ONE
+   all_gather of the D subtree roots feeds a replicated top rebuild —
+   the only tree-level collective (SURVEY §7.4 hard-part 4).
+
+Bit-exactness vs the single-device `_insert_batch_fn` is enforced by
+tests/test_local_plan.py and the dryrun_multichip A/B.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import field
+from ..ops import hashing
+from ..tree import indexed
+
+_MESHES: dict = {}
+
+
+def _pack_keys(vals):
+    """uint32[16, M] canonical limbs -> 8 packed sort keys, MSB first."""
+    return tuple((vals[2 * j + 1] << 16) | vals[2 * j]
+                 for j in range(field.LIMBS // 2 - 1, -1, -1))
+
+
+def _lex_reduce(cand_val, cand_slot, cand_found, take_max: bool):
+    """[D, 16, K]/[D, K] candidates -> global best per query (max or min
+    by value; participant values are globally unique so no tie-break)."""
+    d = cand_val.shape[0]
+    best_v, best_s, best_f = cand_val[0], cand_slot[0], cand_found[0]
+    for i in range(1, d):
+        v, s, f = cand_val[i], cand_slot[i], cand_found[i]
+        if take_max:
+            better = f & (~best_f | field.less_than(best_v, v))
+        else:
+            better = f & (~best_f | field.less_than(v, best_v))
+        best_v = jnp.where(better[None], v, best_v)
+        best_s = jnp.where(better, s, best_s)
+        best_f = best_f | f
+    return best_v, best_s, best_f
+
+
+@lru_cache(maxsize=None)
+def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
+                           nr: str = ""):
+    mesh = _MESHES[mesh_key]
+    n = 1 << depth
+    c = n // d                       # slots per shard
+    l_loc = c.bit_length() - 1       # sharded levels: 0..l_loc
+    m_loc = c + k
+    e = 1 + 2 * k + k                # reduced entry table rows
+
+    def shard_fn(vals, nvs, nis, *rest):
+        lower = rest[:l_loc + 1]
+        top = rest[l_loc + 1:-2]
+        new_vals, count = rest[-2], rest[-1]
+        sid = jax.lax.axis_index("shard")
+        off = sid * c
+        gslot = off + jnp.arange(c, dtype=jnp.int32)
+
+        # ---- 1. local candidate search --------------------------------
+        participant = (~field.is_zero(vals)) | (gslot == 0)
+        all_vals = jnp.concatenate([vals, new_vals], axis=1)   # [16, M_loc]
+        is_query = jnp.concatenate(
+            [jnp.zeros(c, jnp.uint32), jnp.ones(k, jnp.uint32)])
+        part_all = jnp.concatenate([participant, jnp.zeros(k, bool)])
+        sorted_ops = jax.lax.sort(
+            _pack_keys(all_vals) + (is_query,
+                                    jnp.arange(m_loc, dtype=jnp.int32)),
+            num_keys=9)
+        order = sorted_ops[-1]
+        part_s = jnp.take(part_all, order)
+        pos = jnp.arange(m_loc, dtype=jnp.int32)
+        prv = jax.lax.cummax(jnp.where(part_s, pos, -1))
+        prv = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv[:-1]])
+        nxt = jax.lax.cummin(jnp.where(part_s, pos, m_loc), reverse=True)
+        nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m_loc, jnp.int32)])
+        inv = jnp.zeros((m_loc,), jnp.int32).at[order].set(pos)
+        qpos = inv[c:]                                          # [K]
+        lo_p = jnp.take(prv, qpos)
+        hi_p = jnp.take(nxt, qpos)
+        lo_found = lo_p >= 0
+        hi_found = hi_p < m_loc
+        lo_e = jnp.take(order, jnp.clip(lo_p, 0, m_loc - 1))    # entry idx
+        hi_e = jnp.take(order, jnp.clip(hi_p, 0, m_loc - 1))
+        lo_val = jnp.take(all_vals, lo_e, axis=1) * lo_found
+        hi_val = jnp.take(all_vals, hi_e, axis=1) * hi_found
+        lo_slot = jnp.where(lo_found, off + lo_e, 0)
+        hi_slot = jnp.where(hi_found, off + hi_e, 0)
+
+        # ---- 2. exchange O(K) candidates ------------------------------
+        ag = lambda x: jax.lax.all_gather(x, "shard")
+        blo_v, blo_s, blo_f = _lex_reduce(ag(lo_val), ag(lo_slot),
+                                          ag(lo_found), take_max=True)
+        bhi_v, bhi_s, bhi_f = _lex_reduce(ag(hi_val), ag(hi_slot),
+                                          ag(hi_found), take_max=False)
+
+        # ---- 3. replicated reduced planning ---------------------------
+        slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
+        zcol = jnp.zeros((field.LIMBS, 1), jnp.uint32)
+        ev = jnp.concatenate(
+            [zcol, blo_v * blo_f, bhi_v * bhi_f, new_vals], axis=1)
+        es = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.where(blo_f, blo_s, 0),
+             jnp.where(bhi_f, bhi_s, 0), slots]).astype(jnp.uint32)
+        enew = jnp.concatenate(
+            [jnp.zeros(1 + 2 * k, bool), jnp.ones(k, bool)])
+        eops = jax.lax.sort(
+            _pack_keys(ev) + (es, jnp.arange(e, dtype=jnp.int32)),
+            num_keys=9)
+        eorder = eops[-1]
+        sv = jnp.take(ev, eorder, axis=1)
+        ss = jnp.take(es, eorder).astype(jnp.int32)
+        snew = jnp.take(enew, eorder)
+        eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
+        acc = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
+        epos = jnp.arange(e, dtype=jnp.int32)
+        nxt_a = jax.lax.cummin(jnp.where(acc, epos, e), reverse=True)
+        nxt_a = jnp.concatenate([nxt_a[1:], jnp.full((1,), e, jnp.int32)])
+        has_nxt = nxt_a < e
+        nxt_c = jnp.clip(nxt_a, 0, e - 1)
+        succ_val = jnp.where(has_nxt, jnp.take(sv, nxt_c, axis=1), 0)
+        succ_slot = jnp.where(has_nxt, jnp.take(ss, nxt_c), 0)
+        succ_new = jnp.where(has_nxt, jnp.take(snew, nxt_c), False)
+        prv_a = jax.lax.cummax(jnp.where(acc, epos, -1))
+        prv_a = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv_a[:-1]])
+        prev_slot = jnp.take(ss, jnp.clip(prv_a, 0, e - 1))
+
+        einv = jnp.zeros((e,), jnp.int32).at[eorder].set(epos)
+        pos_new = einv[1 + 2 * k:]                               # [K]
+        ok = jnp.take(acc, pos_new)
+        okm = ok[None]
+        nrow_val = jnp.where(okm, new_vals, 0)
+        nrow_nv = jnp.where(okm, jnp.take(succ_val, pos_new, axis=1), 0)
+        nrow_ni_slot = jnp.where(ok, jnp.take(succ_slot, pos_new), 0)
+        nrow_ni = indexed.index_to_limbs(nrow_ni_slot)
+        low_slot_new = jnp.take(prev_slot, pos_new)              # dirty lows
+
+        # existing candidates (sorted positions that are accepted, not new,
+        # and whose accepted successor is a NEW entry) get pointer rewrites
+        wr = acc & ~snew & succ_new
+        wr_slot = jnp.where(wr, ss, n)                 # n = drop sentinel
+        wr_nv = jnp.where(wr[None], succ_val, 0)
+        wr_ni = indexed.index_to_limbs(jnp.where(wr, succ_slot, 0))
+        wr_val = jnp.where(wr[None], sv, 0)
+
+        # ---- 4a. scatter owned rows -----------------------------------
+        def loc(g):
+            owned = (g >= off) & (g < off + c)
+            return jnp.where(owned, g - off, c)       # c = drop
+        vals2 = vals.at[:, loc(slots)].set(nrow_val, mode="drop")
+        nvs2 = nvs.at[:, loc(slots)].set(nrow_nv, mode="drop")
+        nis2 = nis.at[:, loc(slots)].set(nrow_ni, mode="drop")
+        wl = loc(wr_slot)
+        nvs2 = nvs2.at[:, wl].set(wr_nv, mode="drop")
+        nis2 = nis2.at[:, wl].set(wr_ni, mode="drop")
+
+        # ---- 4b. dirty leaf hashes, sharded over the mesh --------------
+        dirty_g = jnp.concatenate([slots, wr_slot])              # [K + E]
+        dh_val = jnp.concatenate([nrow_val, wr_val], axis=1)
+        dh_nv = jnp.concatenate([nrow_nv, wr_nv], axis=1)
+        dh_ni = jnp.concatenate([nrow_ni, wr_ni], axis=1)
+        n_dirty = dirty_g.shape[0]
+        pad = (-n_dirty) % d
+        if pad:
+            dirty_g = jnp.concatenate(
+                [dirty_g, jnp.full((pad,), n, jnp.int32)])
+            zp = jnp.zeros((field.LIMBS, pad), jnp.uint32)
+            dh_val = jnp.concatenate([dh_val, zp], axis=1)
+            dh_nv = jnp.concatenate([dh_nv, zp], axis=1)
+            dh_ni = jnp.concatenate([dh_ni, zp], axis=1)
+        per = (n_dirty + pad) // d
+        sl = sid * per
+        local_hash = hashing.hash3_leaf(
+            jax.lax.dynamic_slice_in_dim(dh_val, sl, per, axis=1),
+            jax.lax.dynamic_slice_in_dim(dh_nv, sl, per, axis=1),
+            jax.lax.dynamic_slice_in_dim(dh_ni, sl, per, axis=1))
+        dirty_hash = jax.lax.all_gather(local_hash, "shard",
+                                        axis=1, tiled=True)      # [CH, K+E]
+
+        # ---- 4c. local dirty-path tree update ---------------------------
+        owned = (dirty_g >= off) & (dirty_g < off + c)
+        cur = jnp.where(owned, dirty_g - off, c)
+        new_lower = [lower[0].at[:, cur].set(dirty_hash, mode="drop")]
+        for l in range(l_loc):
+            level = new_lower[l]
+            parent = cur >> 1                          # drop c>>l -> c>>(l+1)
+            left = jnp.take(level, parent * 2, axis=1)
+            right = jnp.take(level, parent * 2 + 1, axis=1)
+            ph = hashing.hash2_nodes(left, right)
+            new_lower.append(lower[l + 1].at[:, parent].set(ph, mode="drop"))
+            cur = parent
+
+        # ---- 4d. ONE root gather + replicated top rebuild ---------------
+        roots = jax.lax.all_gather(new_lower[-1], "shard",
+                                   axis=1, tiled=True)           # [CH, D]
+        new_top = [roots]
+        while new_top[-1].shape[1] > 1:
+            t = new_top[-1]
+            new_top.append(hashing.hash2_nodes(t[:, 0::2], t[:, 1::2]))
+        return (vals2, nvs2, nis2) + tuple(new_lower) \
+            + tuple(new_top[1:]) + (ok,)
+
+    sharded = P(None, "shard")
+    repl = P()
+    n_top = depth - (l_loc + 1) + 1 if depth > l_loc else 0
+    in_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
+                + (repl,) * (depth - l_loc) + (repl, repl))
+    out_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
+                 + (repl,) * (depth - l_loc) + (repl,))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs, check_vma=False)
+    def run(*args):
+        return shard_fn(*args)
+
+    def step(vals, nvs, nis, levels, new_vals, count):
+        out = run(vals, nvs, nis, *levels, new_vals, count)
+        vals2, nvs2, nis2 = out[:3]
+        levels2 = out[3:3 + depth + 1]
+        ok = out[-1]
+        return (vals2, nvs2, nis2, tuple(levels2)), ok
+
+    return step
+
+
+def local_insert_batch(tree, new_vals, mesh: Mesh, k: int):
+    """Run one shard-local-planned batch insert on `tree` (the inner dense
+    or sparse-prefix tree of a ShardedIndexedMerkleTree).  Mutates the tree
+    state; returns the device-resident acceptance mask bool[K]."""
+    d = mesh.devices.size
+    depth = getattr(tree, "active_depth", tree.tree_depth)
+    if (1 << depth) % d or (1 << depth) < 2 * d:
+        raise ValueError(f"2^{depth} slots not shardable over {d} devices")
+    key = (tuple(dev.id for dev in mesh.devices.flat),)
+    _MESHES[key] = mesh
+    step = _local_insert_batch_fn(depth, k, d, key, tree.node_repr)
+    (tree.vals, tree.next_vals, tree.next_idxs, tree.levels), ok = step(
+        tree.vals, tree.next_vals, tree.next_idxs, tree.levels,
+        jnp.asarray(new_vals), jnp.int32(tree.count))
+    tree.count += k
+    return ok

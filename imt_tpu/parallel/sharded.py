@@ -204,14 +204,30 @@ class ShardedIndexedMerkleTree:
             self._place()
         return out
 
+    def insert_seq(self, values, as_numpy: bool = True):
+        """Scan-chained sequential inserts (see IndexedMerkleTree.insert_seq)."""
+        before = self.active_depth
+        w = self._inner.insert_seq(values, as_numpy=as_numpy)
+        if self.active_depth != before:
+            self._place()
+        return w
+
+    def insert_batches(self, values, as_numpy: bool = True):
+        """Scan-chained batch inserts (see IndexedMerkleTree.insert_batches)."""
+        before = self.active_depth
+        out = self._inner.insert_batches(values, as_numpy=as_numpy)
+        if self.active_depth != before:
+            self._place()
+        return out
+
     def non_inclusion_witness(self, values, as_numpy: bool = True):
         from ..tree.indexed import _as_limb_batch
         queries, k = _as_limb_batch(values)
         d = self._mesh.devices.size
         qsh = self._shard if (k % d == 0 and k >= d) else self._repl
-        if self.sparse:
-            return self._inner.non_inclusion_witness(
-                jax.device_put(queries, qsh))
+        # dense and sparse inner trees share the signature — forward
+        # as_numpy unconditionally so the device-resident pipelining
+        # contract (tree/indexed.py) holds on the sharded-sparse flagship
         return self._inner.non_inclusion_witness(
             jax.device_put(queries, qsh), as_numpy=as_numpy)
 

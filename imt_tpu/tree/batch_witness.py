@@ -24,14 +24,16 @@ with the hashing fully batched:
 
 * Level-synchronous timelines.  Each insert updates exactly 2 leaves (its
   slot + its low leaf), so every tree level sees exactly 2K timestamped node
-  updates.  Per level: one (node, step) sort builds a lookup ("value of node
-  n at step t" = latest update <= t, else the pre-batch level), the 2K
-  parent hashes run as ONE batched hash2 (width 2K — the hash engine's
-  happy regime), and the per-insert proof siblings (low path at step i-1,
-  new path at step i — the reference's already-updated-tree discipline,
-  src/indexed_merkle_tree.rs:734) are two more lookups.  The root level's
-  timeline yields every intermediate root: old_root_i = root at step i-1,
-  new_root_i = root at step i.
+  updates.  Per level, ALL lookups ("value of node n at step t" = latest
+  update <= t, else the pre-batch level) — the per-insert proof siblings
+  (low path at step i-1, new path at step i: the reference's
+  already-updated-tree discipline, src/indexed_merkle_tree.rs:734) and both
+  parent-hash children — resolve in ONE stable sort-merge over updates +
+  queries (_merge_resolve: O((M+Q) log) total, no serialized binary-search
+  gather rounds), and the 2K parent hashes run as ONE batched hash2 (width
+  2K — the hash engine's happy regime).  The root level's merge yields
+  every intermediate root: old_root_i = root at step i-1, new_root_i =
+  root at step i.
 
 Total hash work equals sequential insertion (2 leaf hashes + 2 paths per
 insert) but every hash runs at batch width 2K instead of width 2.
@@ -80,43 +82,39 @@ def _ansv_prev(sigma, thresholds):
     return jnp.clip(pos - 1, 0, k - 1), found
 
 
-def _timeline(upd_node, upd_step):
-    """Build the per-level lookup structure over 2K timestamped updates.
+def _merge_resolve(upd_node, upd_step, upd_val, qnode, qstep, base):
+    """Batch-resolve "value of node qnode at step qstep" against M
+    timestamped updates: the latest update with step <= qstep wins, else
+    `base` (the pre-batch level value).
 
-    Returns (query, sorted_nodes, order): query(qnode, qstep) -> (idx, hit)
-    where idx indexes the UPDATE array (latest update to qnode with
-    step <= qstep) and hit=False means no such update (caller falls back to
-    the base level).  The lookup is a lexicographic binary search over the
-    (node, step) 2-key sorted order — no composite key, so it is safe for
-    any batch size (node*step products would overflow int32 at K=64K)."""
+    ONE stable 2-key sort over updates+queries (a merge), a cumulative max
+    of update positions, and a scatter back to query order — O((M+Q) log)
+    TOTAL, replacing the former per-query lexicographic binary search
+    (~log M serialized gather rounds per level, the 3w throughput culprit).
+
+    upd_node/upd_step: int32[M]; upd_val: [CH, M]; qnode/qstep: int32[Q]
+    (qstep may be -1); base: [CH, Q].  Tie discipline: key2 = 2*step + kind
+    places a query at (n, t) AFTER every update with step <= t at that node
+    (inclusive compare), and the stable sort keeps update order, so the
+    cummax picks the LAST update at equal (node, step) — identical contract
+    to the binary search's rightmost-match."""
     m = upd_node.shape[0]
-    ns, st, order = jax.lax.sort(
-        (upd_node, upd_step, jnp.arange(m, dtype=jnp.int32)), num_keys=2)
-    iters = int(np.ceil(np.log2(m + 1))) + 1
-
-    def query(qnode, qstep):
-        lo = jnp.zeros_like(qnode)
-        hi = jnp.full_like(qnode, m)
-        for _ in range(iters):
-            live = lo < hi
-            mid = jnp.clip((lo + hi) // 2, 0, m - 1)
-            nm = jnp.take(ns, mid)
-            sm = jnp.take(st, mid)
-            le = (nm < qnode) | ((nm == qnode) & (sm <= qstep))
-            lo = jnp.where(live & le, mid + 1, lo)
-            hi = jnp.where(live & ~le, mid, hi)
-        p = lo - 1                      # rightmost entry <= (qnode, qstep)
-        p_c = jnp.clip(p, 0, m - 1)
-        hit = (p >= 0) & (jnp.take(ns, p_c) == qnode)
-        return jnp.take(order, p_c), hit
-
-    return query, ns, order
-
-
-def _value_at(query, vals, base_col, qnode, qstep):
-    """vals: [CH, M] update values; base_col: [CH, Q] base-level fallback."""
-    idx, hit = query(qnode, qstep)
-    return jnp.where(hit, jnp.take(vals, idx, axis=1), base_col)
+    q = qnode.shape[0]
+    tot = m + q
+    node_all = jnp.concatenate([upd_node, qnode])
+    kind = jnp.concatenate([jnp.zeros(m, jnp.int32), jnp.ones(q, jnp.int32)])
+    key2 = 2 * jnp.concatenate([upd_step, qstep]) + kind
+    ids = jnp.arange(tot, dtype=jnp.int32)
+    ns, _, ks, pid = jax.lax.sort((node_all, key2, kind, ids), num_keys=2)
+    pos = jnp.arange(tot, dtype=jnp.int32)
+    last_upd = jax.lax.cummax(jnp.where(ks == 0, pos, -1))
+    p_c = jnp.clip(last_upd, 0, tot - 1)
+    hit = (last_upd >= 0) & (jnp.take(ns, p_c) == ns)
+    ans = jnp.take(pid, p_c)                   # update-array index (kind-0 row)
+    qid = jnp.where(ks == 1, pid - m, tot)     # scatter slot; tot = dropped
+    res_idx = jnp.zeros((q,), jnp.int32).at[qid].set(ans, mode="drop")
+    res_hit = jnp.zeros((q,), dtype=bool).at[qid].set(hit, mode="drop")
+    return jnp.where(res_hit, jnp.take(upd_val, res_idx, axis=1), base)
 
 
 @lru_cache(maxsize=None)
@@ -249,49 +247,56 @@ def _insert_batch_witness_fn(depth: int, k: int, full_depth: int,
 
         # ---- level-synchronous walk --------------------------------------
         steps_i = jnp.arange(k, dtype=jnp.int32)
+        mm = 2 * k                                    # updates per level
         low_proof, low_help, new_proof, new_help = [], [], [], []
         new_levels = []
         for lvl in range(depth + 1):
-            query, node_srt, tl_order = _timeline(upd_node, upd_step)
-
-            # final state of this level: last update per node wins
-            val_srt = jnp.take(upd_val, tl_order, axis=1)
+            # final state of this level: last update per node wins (small
+            # update-only sort; query resolution below is a separate merge)
+            ns_u, _, order_u = jax.lax.sort(
+                (upd_node, upd_step, jnp.arange(mm, dtype=jnp.int32)),
+                num_keys=2)
+            val_srt = jnp.take(upd_val, order_u, axis=1)
             is_last = jnp.concatenate(
-                [node_srt[1:] != node_srt[:-1], jnp.ones((1,), bool)])
-            scatter_idx = jnp.where(is_last, node_srt, n >> lvl)
+                [ns_u[1:] != ns_u[:-1], jnp.ones((1,), bool)])
+            scatter_idx = jnp.where(is_last, ns_u, n >> lvl)
             new_levels.append(
                 levels[lvl].at[:, scatter_idx].set(val_srt, mode="drop"))
 
             if lvl == depth:
+                # every intermediate root: old_root_i at step i-1, new_root_i
+                # at step i — ONE merge over 2K root queries
                 base_root = jnp.broadcast_to(levels[depth],
-                                             (levels[depth].shape[0], k))
-                zero_q = jnp.zeros((k,), jnp.int32)
-                old_root = _value_at(query, upd_val, base_root,
-                                     zero_q, steps_i - 1)
-                new_root = _value_at(query, upd_val, base_root,
-                                     zero_q, steps_i)
+                                             (levels[depth].shape[0], mm))
+                res = _merge_resolve(
+                    upd_node, upd_step, upd_val,
+                    jnp.zeros((mm,), jnp.int32),
+                    jnp.concatenate([steps_i - 1, steps_i]), base_root)
+                old_root = res[:, :k]
+                new_root = res[:, k:]
                 break
 
-            # proof siblings: low path at step i-1, new path at step i
+            # ALL of this level's lookups in ONE merge: proof siblings (low
+            # path at step i-1, new path at step i — the already-updated-
+            # tree discipline, reference :734) + both parent-hash children
+            # at each update's own step
             lsib = (low_slot >> lvl) ^ 1
             nsib = (slots >> lvl) ^ 1
-            base_l = jnp.take(levels[lvl], lsib, axis=1)
-            base_n = jnp.take(levels[lvl], nsib, axis=1)
-            low_proof.append(_value_at(query, upd_val, base_l,
-                                       lsib, steps_i - 1))
-            new_proof.append(_value_at(query, upd_val, base_n,
-                                       nsib, steps_i))
+            lchild = upd_node & ~1
+            rchild = upd_node | 1
+            qnode = jnp.concatenate([lsib, nsib, lchild, rchild])
+            qstep = jnp.concatenate(
+                [steps_i - 1, steps_i, upd_step, upd_step])
+            base = jnp.take(levels[lvl], qnode, axis=1)
+            res = _merge_resolve(upd_node, upd_step, upd_val,
+                                 qnode, qstep, base)
+            low_proof.append(res[:, :k])
+            new_proof.append(res[:, k:2 * k])
             low_help.append(((low_slot >> lvl) % 2 == 0).astype(jnp.int32))
             new_help.append(((slots >> lvl) % 2 == 0).astype(jnp.int32))
 
-            # parent updates: hash left/right children at each update's step
-            lchild = upd_node & ~1
-            rchild = upd_node | 1
-            base_lc = jnp.take(levels[lvl], lchild, axis=1)
-            base_rc = jnp.take(levels[lvl], rchild, axis=1)
-            left = _value_at(query, upd_val, base_lc, lchild, upd_step)
-            right = _value_at(query, upd_val, base_rc, rchild, upd_step)
-            upd_val = hashing.hash2_nodes(left, right)
+            upd_val = hashing.hash2_nodes(res[:, 2 * k:2 * k + mm],
+                                          res[:, 2 * k + mm:])
             upd_node = upd_node >> 1
 
         low_proof = jnp.stack(low_proof)           # [depth, CH, K] node repr

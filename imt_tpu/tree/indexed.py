@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from ..ops import field
 from ..ops import hashing as poseidon_jax
 from ..utils.observability import GLOBAL_METRICS, log_event
-from .merkle import MerkleTree, compute_root_from_helpers
+from .merkle import compute_root_from_helpers, _verify_fn
 
 # H(0,0,0): the empty-slot leaf hash, hard-coded by the reference chip
 # (src/indexed_merkle_tree.rs:247-251).
@@ -154,6 +154,22 @@ def _as_limb_batch(values):
             len(values))
 
 
+def _as_batch_stack(values):
+    """List of B equal-length int lists OR packed uint32[B, 16, K] ->
+    jnp array [B, 16, K]."""
+    if isinstance(values, (np.ndarray, jnp.ndarray)):
+        if values.ndim != 3 or values.shape[1] != field.LIMBS:
+            raise ValueError(
+                f"expected [B, 16, K] limb array, got {values.shape}")
+        return jnp.asarray(values)
+    ks = {len(v) for v in values}
+    if len(ks) != 1:
+        raise ValueError("all batches must have equal length")
+    return jnp.asarray(np.stack(
+        [np.asarray(field.ints_to_limbs([int(x) for x in v]))
+         for v in values]))
+
+
 def index_to_limbs(idx):
     """int32[...] -> [16, ...] canonical limbs (indices < 2^31)."""
     lo = (idx & field.MASK).astype(jnp.uint32)
@@ -199,6 +215,42 @@ def _batch_hash_count(depth: int, k: int) -> int:
         else:
             total += d_width
     return total
+
+
+def _crossover(depth: int, d_width: int) -> int:
+    """First level index at which _update_paths switches to full-level
+    rebuild for a dirty set of d_width entries (static, shapes only)."""
+    for d in range(depth):
+        if d_width >= ((1 << depth) >> d) // 2:
+            return d
+    return depth
+
+
+def _update_paths_trunc(levels, dirty_idx, dirty_leaves, cross: int):
+    """Dirty-path update of levels[0..cross] ONLY (the region below the
+    width-switch crossover).  Everything above `cross` is recomputed from
+    level `cross` alone by the full rebuild, so a chained multi-batch scan
+    (_insert_batches_fn) carries just this truncated stack and rebuilds the
+    top ONCE at the end — intermediate batches skip the top-of-tree hashes
+    and every narrow-width dispatch entirely."""
+    new_levels = [levels[0].at[:, dirty_idx].set(dirty_leaves)]
+    cur_idx = dirty_idx
+    for d in range(cross):
+        level = new_levels[d]
+        parent_idx = cur_idx >> 1
+        left = jnp.take(level, parent_idx * 2, axis=1)
+        right = jnp.take(level, parent_idx * 2 + 1, axis=1)
+        parent = poseidon_jax.hash2_nodes(left, right)
+        new_levels.append(levels[d + 1].at[:, parent_idx].set(parent))
+        cur_idx = parent_idx
+    return tuple(new_levels)
+
+
+def _batches_hash_count(depth: int, k: int, b: int) -> int:
+    """Fixed-length hashes one chained insert_batches(b, k) call performs
+    (metrics accounting for _insert_batches_fn's truncated-carry schedule)."""
+    cross = _crossover(depth, 2 * k)
+    return b * (2 * k + 2 * k * cross) + (((1 << depth) >> cross) - 1)
 
 
 def _update_paths(levels, dirty_idx, dirty_leaves, depth: int):
@@ -301,6 +353,20 @@ def _repr_key() -> str:
     backend-switch footgun: a tree built under one representation can never
     silently reuse a step program traced under another."""
     return poseidon_jax.node_repr()
+
+
+@lru_cache(maxsize=None)
+def _get_proof_fn(depth: int, nr: str = ""):
+    """Jitted O(depth) proof query: gather the sibling path in node
+    representation, decode ONLY those depth columns through the CRT (the
+    former API path decoded every level — ~2^depth nodes per call)."""
+
+    @jax.jit
+    def f(levels, idx):
+        proof, helpers = _gather_proof(levels, idx, depth)
+        return _dec_path(proof), helpers
+
+    return f
 
 
 @lru_cache(maxsize=None)
@@ -423,6 +489,92 @@ def _insert_step_fn(depth: int, full_depth: int | None = None, nr: str = ""):
     return step
 
 
+@lru_cache(maxsize=None)
+def _insert_seq_fn(depth: int, chunk: int, full_depth: int | None = None,
+                   nr: str = ""):
+    """Scan-chained sequential inserts: `chunk` strictly-sequential insert
+    steps (identical semantics and witnesses to calling insert() chunk
+    times) inside ONE jitted program.  Through the axon tunnel each jitted
+    dispatch costs ~20ms of RPC regardless of device time, so chaining is
+    the throughput lever for the sequential witness path (BASELINE config
+    3).  Witnesses come back stacked in the batch convention ([16, C] /
+    [depth, 16, C]) — the same layout insert_batch(witness=True) uses."""
+    step = _insert_step_fn(depth, full_depth, nr)
+
+    @jax.jit
+    def seq(vals, nvs, nis, levels, new_vals, count0):
+        # new_vals: [C, 16, 1] (scan xs); count0: int32 scalar
+        def body(carry, nv):
+            vals, nvs, nis, levels, count = carry
+            (vals, nvs, nis, levels), w = step(
+                vals, nvs, nis, levels, nv, count)
+            return (vals, nvs, nis, levels, count + 1), w
+
+        (vals, nvs, nis, levels, _), ws = jax.lax.scan(
+            body, (vals, nvs, nis, levels, count0), new_vals)
+        # restack [C, ...] leading dim into the batch-witness convention
+        witness = dict(
+            ok=ws["ok"][:, 0],
+            old_root=ws["old_root"][:, :, 0].T,
+            low_leaf_val=ws["low_leaf_val"][:, :, 0].T,
+            low_leaf_next_val=ws["low_leaf_next_val"][:, :, 0].T,
+            low_leaf_next_idx=ws["low_leaf_next_idx"][:, :, 0].T,
+            low_leaf_proof=jnp.moveaxis(ws["low_leaf_proof"][..., 0], 0, -1),
+            low_leaf_proof_helper=ws["low_leaf_proof_helper"][:, :, 0].T,
+            new_root=ws["new_root"][:, :, 0].T,
+            new_leaf_val=ws["new_leaf_val"][:, :, 0].T,
+            new_leaf_next_val=ws["new_leaf_next_val"][:, :, 0].T,
+            new_leaf_next_idx=ws["new_leaf_next_idx"][:, :, 0].T,
+            new_leaf_index=ws["new_leaf_index"][:, 0],
+            new_leaf_proof=jnp.moveaxis(ws["new_leaf_proof"][..., 0], 0, -1),
+            new_leaf_proof_helper=ws["new_leaf_proof_helper"][:, :, 0].T,
+            is_new_leaf_largest=ws["is_new_leaf_largest"][:, 0],
+        )
+        return (vals, nvs, nis, levels), witness
+
+    return seq
+
+
+@lru_cache(maxsize=None)
+def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
+    """Scan-chained batch inserts: `b` consecutive insert_batch steps in ONE
+    jitted program (one tunnel dispatch instead of b) — state-identical to
+    b separate insert_batch calls.
+
+    Work-saving structure: _update_paths rebuilds every level above the
+    width-switch crossover FROM ITS CHILD LEVEL ALONE, so intermediate
+    batches never need the top of the tree.  The scan carries only
+    levels[0..cross] and the top is rebuilt ONCE after the last batch —
+    for b batches that deletes (b-1)/b of the full-rebuild hashes (~40% of
+    the per-batch hash schedule at the BASELINE config-4/5 shapes) plus all
+    narrow-width top-of-tree dispatches of the intermediate batches."""
+    n = 1 << depth
+    cross = _crossover(depth, 2 * k)
+
+    @jax.jit
+    def run(vals, nvs, nis, levels, new_vals, count0):
+        # new_vals: [B, 16, K]
+        lower = tuple(levels[:cross + 1])
+
+        def body(carry, nv):
+            vals, nvs, nis, lower, count = carry
+            vals2, nvs2, nis2, dirty, dirty_hash, ok = _plan_batch(
+                vals, nvs, nis, nv, count, n, k)
+            lower = _update_paths_trunc(lower, dirty, dirty_hash, cross)
+            return (vals2, nvs2, nis2, lower, count + k), ok
+
+        (vals, nvs, nis, lower, _), oks = jax.lax.scan(
+            body, (vals, nvs, nis, lower, count0), new_vals)
+        # ONE full top rebuild for the whole chain
+        out = list(lower)
+        for _ in range(cross, depth):
+            out.append(poseidon_jax.hash2_nodes(out[-1][:, 0::2],
+                                                out[-1][:, 1::2]))
+        return (vals, nvs, nis, tuple(out)), oks     # oks: [B, K]
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # Batched non-inclusion witness (the prover side of verify_non_inclusion —
 # the reference computes these witnesses with its native tree + host planner,
@@ -513,100 +665,110 @@ def _non_inclusion_witness_fn(depth: int, k: int, full_depth: int,
 # Batched insert (compute path, sort-based chain resolution)
 # ---------------------------------------------------------------------------
 
+def _plan_batch(vals, nvs, nis, new_vals, count, n: int, k: int):
+    """The batched-insert planner (sort-resolved sequential semantics):
+    returns (vals2, nvs2, nis2, dirty, dirty_hash, ok) — the post-batch leaf
+    SoA, the dirty slot set (low leaves + new slots), their leaf hashes and
+    the per-insert acceptance mask.  Pure traced jnp; shared by the single-
+    step and scan-chained insert programs."""
+    m = n + k
+    slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
+
+    # Entry table: every existing slot + every new value.
+    all_vals = jnp.concatenate([vals, new_vals], axis=1)       # [16, M]
+    all_slots = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), slots])               # [M]
+    is_new = jnp.concatenate(
+        [jnp.zeros(n, dtype=bool), jnp.ones(k, dtype=bool)])
+
+    # Ascending sort by (value, slot).  ONE lax.sort call with 9 keys:
+    # 8 uint32 keys packing two 16-bit limbs each (most-significant
+    # first), then the slot as tie-break — vs 17 stable lexsort passes.
+    # The slot tie-break encodes sequential acceptance priority:
+    # existing slots numerically precede new slots, and new slots
+    # follow batch order.  The iota payload comes back as the sort
+    # permutation.
+    packed = tuple(
+        (all_vals[2 * j + 1] << 16) | all_vals[2 * j]
+        for j in range(field.LIMBS // 2 - 1, -1, -1))
+    sorted_ops = jax.lax.sort(
+        packed + (all_slots.astype(jnp.uint32),
+                  jnp.arange(m, dtype=jnp.int32)),
+        num_keys=9)
+    order = sorted_ops[-1]
+    sv = jnp.take(all_vals, order, axis=1)                     # sorted values
+    ss = jnp.take(all_slots, order)                            # sorted slots
+    snew = jnp.take(is_new, order)
+
+    # Participation: position 0 is the slot-0 sentinel (value 0, slot 0 is
+    # the global minimum pair).  Any later entry equal to its predecessor
+    # is a duplicate: empty existing slots tie the sentinel's 0, duplicate
+    # or zero new values tie their first occurrence -> all rejected.
+    eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
+    accepted = jnp.concatenate([jnp.ones(1, dtype=bool), ~eq_prev])
+
+    # Successor pointers among accepted entries (sorted order), skipping
+    # rejected entries: next accepted position via reverse cumulative min.
+    pos = jnp.arange(m, dtype=jnp.int32)
+    idx_if_acc = jnp.where(accepted, pos, m)
+    nxt = jax.lax.cummin(idx_if_acc, reverse=True)
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])  # strict >
+    has_next = nxt < m
+    nxt_c = jnp.clip(nxt, 0, m - 1)
+    succ_val = jnp.where(has_next, jnp.take(sv, nxt_c, axis=1),
+                         jnp.zeros_like(sv))
+    succ_slot = jnp.where(has_next, jnp.take(ss, nxt_c), 0).astype(jnp.int32)
+
+    # Predecessor (low-leaf) slot per sorted position, for the dirty set:
+    # last accepted position strictly before each position.
+    idx_if_acc2 = jnp.where(accepted, pos, -1)
+    prv = jax.lax.cummax(idx_if_acc2)
+    prv = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv[:-1]])
+    prev_slot = jnp.take(ss, jnp.clip(prv, 0, m - 1)).astype(jnp.int32)
+
+    # Final per-entry leaf state (in sorted order): rejected/empty -> zeros.
+    w_val = jnp.where(accepted[None], sv, 0)
+    w_nv = jnp.where(accepted[None], succ_val, 0)
+    w_ni = jnp.where(accepted[None], index_to_limbs(succ_slot), 0)
+
+    # Back to original entry order via the inverse permutation: entry e
+    # sits at sorted position inv_order[e].  Entries 0..n-1 ARE the slots
+    # 0..n-1 in order, so the existing part needs no scatter at all; the
+    # k new entries then overwrite their (previously empty) slots — two
+    # sequenced writes, no duplicate-index scatter ambiguity.
+    # (inverse by scatter, not argsort: one scatter vs a full sort)
+    inv_order = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32))
+    pos_exist = inv_order[:n]
+    vals2 = jnp.take(w_val, pos_exist, axis=1)
+    nvs2 = jnp.take(w_nv, pos_exist, axis=1)
+    nis2 = jnp.take(w_ni, pos_exist, axis=1)
+    pos_new = inv_order[n:]
+    vals2 = vals2.at[:, slots].set(jnp.take(w_val, pos_new, axis=1))
+    nvs2 = nvs2.at[:, slots].set(jnp.take(w_nv, pos_new, axis=1))
+    nis2 = nis2.at[:, slots].set(jnp.take(w_ni, pos_new, axis=1))
+
+    # --- dirty leaves: the K new slots + their low leaves ----------------
+    dirty_low = jnp.take(prev_slot, pos_new)
+    dirty = jnp.concatenate([dirty_low, slots]).astype(jnp.int32)
+    dirty_hash = poseidon_jax.hash3_leaf(
+        jnp.take(vals2, dirty, axis=1),
+        jnp.take(nvs2, dirty, axis=1),
+        jnp.take(nis2, dirty, axis=1))
+    ok = jnp.take(accepted, pos_new)  # per-insert acceptance, batch order
+    return vals2, nvs2, nis2, dirty, dirty_hash, ok
+
+
 @lru_cache(maxsize=None)
 def _insert_batch_fn(depth: int, k: int, nr: str = ""):
     n = 1 << depth
-    m = n + k
 
     @jax.jit
     def step(vals, nvs, nis, levels, new_vals, count):
         # new_vals: [16, K] taking slots count+1 .. count+K (batch order)
-        slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
-
-        # Entry table: every existing slot + every new value.
-        all_vals = jnp.concatenate([vals, new_vals], axis=1)       # [16, M]
-        all_slots = jnp.concatenate(
-            [jnp.arange(n, dtype=jnp.int32), slots])               # [M]
-        is_new = jnp.concatenate(
-            [jnp.zeros(n, dtype=bool), jnp.ones(k, dtype=bool)])
-
-        # Ascending sort by (value, slot).  ONE lax.sort call with 9 keys:
-        # 8 uint32 keys packing two 16-bit limbs each (most-significant
-        # first), then the slot as tie-break — vs 17 stable lexsort passes.
-        # The slot tie-break encodes sequential acceptance priority:
-        # existing slots numerically precede new slots, and new slots
-        # follow batch order.  The iota payload comes back as the sort
-        # permutation.
-        packed = tuple(
-            (all_vals[2 * j + 1] << 16) | all_vals[2 * j]
-            for j in range(field.LIMBS // 2 - 1, -1, -1))
-        sorted_ops = jax.lax.sort(
-            packed + (all_slots.astype(jnp.uint32),
-                      jnp.arange(m, dtype=jnp.int32)),
-            num_keys=9)
-        order = sorted_ops[-1]
-        sv = jnp.take(all_vals, order, axis=1)                     # sorted values
-        ss = jnp.take(all_slots, order)                            # sorted slots
-        snew = jnp.take(is_new, order)
-
-        # Participation: position 0 is the slot-0 sentinel (value 0, slot 0 is
-        # the global minimum pair).  Any later entry equal to its predecessor
-        # is a duplicate: empty existing slots tie the sentinel's 0, duplicate
-        # or zero new values tie their first occurrence -> all rejected.
-        eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
-        accepted = jnp.concatenate([jnp.ones(1, dtype=bool), ~eq_prev])
-
-        # Successor pointers among accepted entries (sorted order), skipping
-        # rejected entries: next accepted position via reverse cumulative min.
-        pos = jnp.arange(m, dtype=jnp.int32)
-        idx_if_acc = jnp.where(accepted, pos, m)
-        nxt = jax.lax.cummin(idx_if_acc, reverse=True)
-        nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])  # strict >
-        has_next = nxt < m
-        nxt_c = jnp.clip(nxt, 0, m - 1)
-        succ_val = jnp.where(has_next, jnp.take(sv, nxt_c, axis=1),
-                             jnp.zeros_like(sv))
-        succ_slot = jnp.where(has_next, jnp.take(ss, nxt_c), 0).astype(jnp.int32)
-
-        # Predecessor (low-leaf) slot per sorted position, for the dirty set:
-        # last accepted position strictly before each position.
-        idx_if_acc2 = jnp.where(accepted, pos, -1)
-        prv = jax.lax.cummax(idx_if_acc2)
-        prv = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv[:-1]])
-        prev_slot = jnp.take(ss, jnp.clip(prv, 0, m - 1)).astype(jnp.int32)
-
-        # Final per-entry leaf state (in sorted order): rejected/empty -> zeros.
-        w_val = jnp.where(accepted[None], sv, 0)
-        w_nv = jnp.where(accepted[None], succ_val, 0)
-        w_ni = jnp.where(accepted[None], index_to_limbs(succ_slot), 0)
-
-        # Back to original entry order via the inverse permutation: entry e
-        # sits at sorted position inv_order[e].  Entries 0..n-1 ARE the slots
-        # 0..n-1 in order, so the existing part needs no scatter at all; the
-        # k new entries then overwrite their (previously empty) slots — two
-        # sequenced writes, no duplicate-index scatter ambiguity.
-        # (inverse by scatter, not argsort: one scatter vs a full sort)
-        inv_order = jnp.zeros((m,), jnp.int32).at[order].set(
-            jnp.arange(m, dtype=jnp.int32))
-        pos_exist = inv_order[:n]
-        vals2 = jnp.take(w_val, pos_exist, axis=1)
-        nvs2 = jnp.take(w_nv, pos_exist, axis=1)
-        nis2 = jnp.take(w_ni, pos_exist, axis=1)
-        pos_new = inv_order[n:]
-        vals2 = vals2.at[:, slots].set(jnp.take(w_val, pos_new, axis=1))
-        nvs2 = nvs2.at[:, slots].set(jnp.take(w_nv, pos_new, axis=1))
-        nis2 = nis2.at[:, slots].set(jnp.take(w_ni, pos_new, axis=1))
-
-        # --- dirty leaves: the K new slots + their low leaves ----------------
-        dirty_low = jnp.take(prev_slot, pos_new)
-        dirty = jnp.concatenate([dirty_low, slots]).astype(jnp.int32)
-        dirty_hash = poseidon_jax.hash3_leaf(
-            jnp.take(vals2, dirty, axis=1),
-            jnp.take(nvs2, dirty, axis=1),
-            jnp.take(nis2, dirty, axis=1))
+        vals2, nvs2, nis2, dirty, dirty_hash, ok = _plan_batch(
+            vals, nvs, nis, new_vals, count, n, k)
         new_levels = _update_paths(levels, dirty, dirty_hash, depth)
-
-        ok = jnp.take(accepted, pos_new)  # per-insert acceptance, batch order
         return (vals2, nvs2, nis2, new_levels), ok
 
     return step
@@ -743,10 +905,6 @@ class IndexedMerkleTree:
 
     # -- queries -------------------------------------------------------------
 
-    def _limb_levels(self) -> list:
-        """Levels decoded to canonical limbs (convenience-API boundary)."""
-        return [poseidon_jax.dec_nodes(l) for l in self.levels]
-
     def get_root(self):
         self._check_repr()
         return poseidon_jax.dec_nodes(self.levels[-1])
@@ -755,12 +913,19 @@ class IndexedMerkleTree:
         return field.limbs_to_int(np.asarray(self.get_root())[:, 0])
 
     def get_proof(self, index: int):
-        tree = MerkleTree(self._limb_levels())
-        return tree.get_proofs([index])
+        """Sibling path + helper bits (reference src/utils.rs:63-85) —
+        O(depth) gathers; only the depth path columns are CRT-decoded."""
+        self._check_repr()
+        return _get_proof_fn(self.tree_depth, self.node_repr)(
+            self.levels, jnp.int32(index))
 
     def verify_proof(self, leaf, index, root, proof) -> bool:
-        tree = MerkleTree(self._limb_levels())
-        return tree.verify_proof(leaf, index, root, proof)
+        """Verify by index parity (reference src/utils.rs:87-107).
+        Stateless: recomputes the root from the proof alone."""
+        idx = jnp.asarray(np.asarray([index], dtype=np.int32))
+        root_b = jnp.broadcast_to(jnp.asarray(root), (field.LIMBS, 1))
+        return bool(np.asarray(_verify_fn(proof.shape[0])(
+            jnp.asarray(leaf), idx, root_b, jnp.asarray(proof)))[0])
 
     def get_leaf_ints(self, index: int):
         v = field.limbs_to_int(np.asarray(self.vals)[:, index])
@@ -877,6 +1042,63 @@ class IndexedMerkleTree:
         ok = np.asarray(ok)
         GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
         return ok
+
+    def _package_witness(self, w: dict, k: int, as_numpy: bool):
+        if not as_numpy:
+            GLOBAL_METRICS.record_submitted(k)
+            return InsertWitness(**w)
+        ok = np.asarray(w["ok"])
+        GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
+        wit = InsertWitness(ok=ok, **{
+            key: v for key, v in w.items() if key != "ok"})
+        if _debug_witness:
+            check_insert_witness(wit)
+        return wit
+
+    def insert_seq(self, values, as_numpy: bool = True) -> InsertWitness:
+        """Strictly sequential inserts (each sees the tree state left by the
+        previous one — the reference's test loop discipline,
+        src/indexed_merkle_tree.rs:710-802) with full per-insert witness
+        bundles, chained inside ONE jitted dispatch via lax.scan.  Witnesses
+        and roots are bit-identical to calling insert() len(values) times;
+        only the host/RPC boundary moves (one tunnel dispatch per chunk
+        instead of one per insert).  Returns an InsertWitness with K =
+        len(values) lanes in the batch layout."""
+        self._check_repr()
+        new_vals, c = _as_limb_batch(values)
+        if self.count + c >= self.num_slots:
+            raise ValueError("tree full")
+        xs = jnp.moveaxis(jnp.asarray(new_vals), 0, 1)[:, :, None]  # [C,16,1]
+        seq = _insert_seq_fn(self.tree_depth, c, None, self.node_repr)
+        (self.vals, self.next_vals, self.next_idxs, self.levels), w = seq(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            xs, jnp.int32(self.count))
+        self.count += c
+        GLOBAL_METRICS.record_hashes(c * (2 + 2 * self.tree_depth))
+        return self._package_witness(w, c, as_numpy)
+
+    def insert_batches(self, values, as_numpy: bool = True):
+        """Chained batch inserts: values [B, 16, K] (or a list of B
+        equal-length value lists) runs B consecutive insert_batch steps in
+        ONE jitted dispatch — state-identical to B separate insert_batch
+        calls.  Returns the stacked acceptance mask bool[B, K]."""
+        self._check_repr()
+        arr = _as_batch_stack(values)
+        b, _, k = arr.shape
+        if self.count + b * k >= self.num_slots:
+            raise ValueError("tree full")
+        run = _insert_batches_fn(self.tree_depth, k, b, self.node_repr)
+        (self.vals, self.next_vals, self.next_idxs, self.levels), oks = run(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            arr, jnp.int32(self.count))
+        self.count += b * k
+        GLOBAL_METRICS.record_hashes(_batches_hash_count(self.tree_depth, k, b))
+        if not as_numpy:
+            GLOBAL_METRICS.record_submitted(b * k)
+            return oks
+        oks = np.asarray(oks)
+        GLOBAL_METRICS.record_inserts(int(oks.sum()), b * k - int(oks.sum()))
+        return oks
 
     # -- serialization (checkpoint/resume; the serde-derive hook of the
     #    reference, src/utils.rs:12) ----------------------------------------

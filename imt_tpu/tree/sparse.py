@@ -117,9 +117,9 @@ class SparseIndexedMerkleTree:
         """Full-depth Merkle proof of the leaf at `index`: the active-prefix
         path extended with the zero-subtree spine (helper=1 above the
         prefix).  Matches IndexedMerkleTree.get_proof's (proof, helpers)."""
-        from .merkle import MerkleTree
-        tree = MerkleTree([poseidon_jax.dec_nodes(l) for l in self.levels])
-        proof, helpers = tree.get_proofs([index])
+        self._check_repr()
+        proof, helpers = indexed._get_proof_fn(
+            self.active_depth, self.node_repr)(self.levels, jnp.int32(index))
         ext = self.tree_depth - self.active_depth
         if ext:
             sibs = jnp.asarray(indexed._zero_sib_cols(
@@ -213,6 +213,49 @@ class SparseIndexedMerkleTree:
         ok = np.asarray(ok)
         GLOBAL_METRICS.record_inserts(int(ok.sum()), k - int(ok.sum()))
         return ok
+
+    def insert_seq(self, values, as_numpy: bool = True) -> InsertWitness:
+        """Scan-chained strictly-sequential inserts with full-depth witness
+        bundles in ONE jitted dispatch — see IndexedMerkleTree.insert_seq."""
+        self._check_repr()
+        new_vals, c = indexed._as_limb_batch(values)
+        if self.count + c >= (1 << self.tree_depth):
+            raise ValueError("tree full")
+        self._grow_to(self.count + c + 1)
+        xs = jnp.moveaxis(jnp.asarray(new_vals), 0, 1)[:, :, None]
+        seq = indexed._insert_seq_fn(self.active_depth, c, self.tree_depth,
+                                     self.node_repr)
+        (self.vals, self.next_vals, self.next_idxs, self.levels), w = seq(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            xs, jnp.int32(self.count))
+        self.count += c
+        GLOBAL_METRICS.record_hashes(c * (2 + 2 * self.tree_depth))
+        return indexed.IndexedMerkleTree._package_witness(
+            self, w, c, as_numpy)
+
+    def insert_batches(self, values, as_numpy: bool = True):
+        """Scan-chained batch inserts ([B, 16, K] or list of B lists) in ONE
+        jitted dispatch — see IndexedMerkleTree.insert_batches."""
+        self._check_repr()
+        arr = indexed._as_batch_stack(values)
+        b, _, k = arr.shape
+        if self.count + b * k >= (1 << self.tree_depth):
+            raise ValueError("tree full")
+        self._grow_to(self.count + b * k + 1)
+        run = indexed._insert_batches_fn(self.active_depth, k, b,
+                                         self.node_repr)
+        (self.vals, self.next_vals, self.next_idxs, self.levels), oks = run(
+            self.vals, self.next_vals, self.next_idxs, self.levels,
+            arr, jnp.int32(self.count))
+        self.count += b * k
+        GLOBAL_METRICS.record_hashes(
+            indexed._batches_hash_count(self.active_depth, k, b))
+        if not as_numpy:
+            GLOBAL_METRICS.record_submitted(b * k)
+            return oks
+        oks = np.asarray(oks)
+        GLOBAL_METRICS.record_inserts(int(oks.sum()), b * k - int(oks.sum()))
+        return oks
 
     # -- serialization -------------------------------------------------------
 

@@ -109,8 +109,8 @@ def _oracle_lt_eq(a, b):
     return lt, eq
 
 
-def test_comparator_fuzz_10m():
-    """Reference-scale comparator fuzz: 10M+ pairs incl. deliberate
+def _comparator_fuzz(rounds: int):
+    """Comparator fuzz body: `rounds` x 64K pairs incl. deliberate
     equal-limb structure (the class that masks the reference's `a_r == b_q`
     typo, src/indexed_merkle_tree.rs:617).  Bulk rounds check against a
     4x64-packed numpy oracle; the first rounds also against python ints."""
@@ -118,7 +118,7 @@ def test_comparator_fuzz_10m():
     import jax.numpy as jnp
     from imt_tpu.ops import gates
 
-    batch, rounds = 1 << 16, 160          # ~10.5M pairs
+    batch = 1 << 16
     nprng = np.random.RandomState(0x1337)
     lt_f = jax.jit(field.less_than)
     eq_f = jax.jit(field.eq)
@@ -143,6 +143,18 @@ def test_comparator_fuzz_10m():
         assert (np.asarray(lt_f(aj, bj)) == want_lt).all(), f"lt round {r}"
         assert (np.asarray(eq_f(aj, bj)) == want_eq).all(), f"eq round {r}"
         assert (np.asarray(glt_f(aj, bj)) == want_lt).all(), f"gates round {r}"
+
+
+def test_comparator_fuzz_1m():
+    """Default-tier fuzz: ~1M pairs, every adversarial equal-limb class."""
+    _comparator_fuzz(rounds=16)
+
+
+@pytest.mark.slow
+def test_comparator_fuzz_10m():
+    """Reference-scale fuzz (10M+ pairs, src/indexed_merkle_tree.rs:602) —
+    nightly tier: pytest -m slow."""
+    _comparator_fuzz(rounds=160)
 
 
 def test_eq_is_zero_select():

