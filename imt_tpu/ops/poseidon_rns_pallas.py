@@ -57,13 +57,18 @@ DEFAULT_DOTS = "bf16"
 # Kawamura alpha as an early VPU reduction (v0x also: 72-row lhs, two-mod
 # combine — the exact pre-fusion extension).  All value-exact (canonical
 # limbs identical at every hash boundary; raw RNS representatives may differ
-# between est flavors at margin-window inputs).  Round-1 A/B, tile 1024,
-# batch 32768, bf16 dots: cat 6.13M > v0 6.06M; int8 dots: cat 4.86 > v0
-# 4.56 > v0e 4.35 > v0x 4.27 > split 3.36M perms/s.  Round-2 re-A/B with
-# bf16 dots (the combination round 1 never measured): split BEATS cat —
-# 7.78M vs 7.55M at tile 2048, 8.13M at tile 4096 (the concatenate traffic
-# the split layout removes is ~11% of the census; bf16 dots don't pay the
-# int32->f32 converts that sank split+int8).
+# between est flavors at margin-window inputs).
+#
+# Measurement status (round 3): the only A/B that used the interleaved-
+# median protocol is split-vs-cat with bf16 dots (round 2: split 7.78M vs
+# cat 7.55M at tile 2048 — a 3% delta against a +-8% same-kernel spread, so
+# "split >= cat, both within noise" is the honest reading).  The round-1
+# single-shot rankings of the v0* variants (cat 6.13 > v0 6.06 > v0e >
+# v0x > split 3.36 with int8 dots) PREDATE the protocol and are noise-
+# dominated — they are kept only as a record of which variants exist and
+# are NOT evidence for the default.  "split" is the default because it is
+# never slower in any protocol-grade measurement and is the structurally
+# smallest (no concat traffic).
 DEFAULT_LAYOUT = "split"
 
 

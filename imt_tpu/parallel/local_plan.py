@@ -216,12 +216,24 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         dirty_hash = jax.lax.all_gather(local_hash, "shard",
                                         axis=1, tiled=True)      # [CH, K+E]
 
-        # ---- 4c. local dirty-path tree update ---------------------------
+        # ---- 4c. local tree update (dirty paths, local width switch) ----
+        # Same static switch as indexed._update_paths but on LOCAL widths:
+        # once the dirty set covers half a local level, a full local rebuild
+        # is fewer hashes AND perfectly balanced across shards (the dirty
+        # path hashes all K+E lanes on every shard — unowned lanes are
+        # dropped at the scatter, so below the switch the redundancy is the
+        # price of static shapes; above it there is none).
         owned = (dirty_g >= off) & (dirty_g < off + c)
         cur = jnp.where(owned, dirty_g - off, c)
         new_lower = [lower[0].at[:, cur].set(dirty_hash, mode="drop")]
+        full = False
         for l in range(l_loc):
             level = new_lower[l]
+            if full or dirty_g.shape[0] >= (c >> l) // 2:
+                full = True
+                new_lower.append(
+                    hashing.hash2_nodes(level[:, 0::2], level[:, 1::2]))
+                continue
             parent = cur >> 1                          # drop c>>l -> c>>(l+1)
             left = jnp.take(level, parent * 2, axis=1)
             right = jnp.take(level, parent * 2 + 1, axis=1)
@@ -241,7 +253,6 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
 
     sharded = P(None, "shard")
     repl = P()
-    n_top = depth - (l_loc + 1) + 1 if depth > l_loc else 0
     in_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
                 + (repl,) * (depth - l_loc) + (repl, repl))
     out_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
@@ -260,7 +271,27 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         ok = out[-1]
         return (vals2, nvs2, nis2, tuple(levels2)), ok
 
+    step.run = run          # raw jitted program (collective inventory)
     return step
+
+
+def hash_count(depth: int, k: int, d: int) -> int:
+    """Fixed-length hashes one local-planned batch performs across the
+    whole mesh (metrics accounting, mirrors shard_fn's static schedule)."""
+    c = (1 << depth) // d
+    e = 1 + 3 * k
+    nd = k + e + ((-(k + e)) % d)
+    total = nd                         # sharded leaf hashes
+    full = False
+    for l in range(c.bit_length() - 1):
+        w = c >> l
+        if full or nd >= w // 2:
+            full = True
+            total += (w // 2) * d
+        else:
+            total += nd * d            # dirty lanes hashed on every shard
+    total += d - 1                     # replicated top rebuild
+    return total
 
 
 def local_insert_batch(tree, new_vals, mesh: Mesh, k: int):

@@ -138,13 +138,19 @@ class ShardedIndexedMerkleTree:
 
     def __init__(self, depth: int, mesh: Mesh | None = None,
                  sparse: bool | None = None,
-                 initial_capacity_log2: int = 10):
+                 initial_capacity_log2: int = 10,
+                 local_plan: bool = False):
         from ..tree.indexed import IndexedMerkleTree
         from ..tree.sparse import SparseIndexedMerkleTree
         self._mesh = mesh or make_mesh()
         if sparse is None:
             sparse = depth > 20
         self.sparse = sparse
+        # local_plan=True: plain insert_batch runs the shard-local planner
+        # (parallel/local_plan.py) — O(K) collectives instead of the GSPMD
+        # full-state all-gather the inventory measured.  Falls back to the
+        # GSPMD path when the active prefix is too small to shard.
+        self.local_plan = local_plan
         self._inner = (SparseIndexedMerkleTree(depth, initial_capacity_log2)
                        if sparse else IndexedMerkleTree(depth))
         self._shard = NamedSharding(self._mesh, P(None, "shard"))
@@ -196,8 +202,31 @@ class ShardedIndexedMerkleTree:
     def insert_batch(self, values, witness: bool = False,
                      as_numpy: bool = True):
         from ..tree.indexed import _as_limb_batch
-        vals, _ = _as_limb_batch(values)
+        vals, k = _as_limb_batch(values)
         before = self.active_depth
+        if self.local_plan and not witness:
+            from . import local_plan
+            t = self._inner
+            if hasattr(t, "_grow_to"):
+                t._grow_to(t.count + k + 1)
+            d = self._mesh.devices.size
+            ad = self.active_depth
+            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+                if self.active_depth != before:
+                    self._place()
+                ok = local_plan.local_insert_batch(
+                    t, jax.device_put(vals, self._repl), self._mesh, k)
+                from ..utils.observability import GLOBAL_METRICS
+                GLOBAL_METRICS.record_hashes(
+                    local_plan.hash_count(ad, k, d))
+                if not as_numpy:
+                    GLOBAL_METRICS.record_submitted(k)
+                    return ok
+                ok = np.asarray(ok)
+                GLOBAL_METRICS.record_inserts(int(ok.sum()),
+                                              k - int(ok.sum()))
+                return ok
+            # active prefix too small to shard: GSPMD fallback below
         out = self._inner.insert_batch(jax.device_put(vals, self._repl),
                                        witness=witness, as_numpy=as_numpy)
         if self.active_depth != before:

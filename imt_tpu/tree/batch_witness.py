@@ -143,37 +143,48 @@ def _insert_batch_witness_fn(depth: int, k: int, full_depth: int,
                       jnp.arange(m, dtype=jnp.int32)),
             num_keys=9)
         order = sorted_ops[-1]
-        sv = jnp.take(all_vals, order, axis=1)
-        ss = jnp.take(all_slots, order)
+        ss = sorted_ops[8].astype(jnp.int32)   # sorted slots (9th sort key)
         snew = jnp.take(is_new, order)
 
-        eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
+        # value equality from the sorted keys (keys 0..7 = the 254 value
+        # bits) — no [16, M] sorted-value gather (same diet as _plan_batch)
+        eq_prev = sorted_ops[0][1:] == sorted_ops[0][:-1]
+        for r in range(1, 8):
+            eq_prev &= sorted_ops[r][1:] == sorted_ops[r][:-1]
         accepted = jnp.concatenate([jnp.ones(1, dtype=bool), ~eq_prev])
 
         pos = jnp.arange(m, dtype=jnp.int32)
-        idx_if_acc = jnp.where(accepted, pos, m)
-        nxt = jax.lax.cummin(idx_if_acc, reverse=True)
+        nxt = jax.lax.cummin(jnp.where(accepted, pos, m), reverse=True)
         nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])
-        has_next = nxt < m
-        nxt_c = jnp.clip(nxt, 0, m - 1)
-        succ_val_fin = jnp.where(has_next, jnp.take(sv, nxt_c, axis=1),
-                                 jnp.zeros_like(sv))
-        succ_slot_fin = jnp.where(has_next, jnp.take(ss, nxt_c), 0).astype(
-            jnp.int32)
-        w_val = jnp.where(accepted[None], sv, 0)
-        w_nv = jnp.where(accepted[None], succ_val_fin, 0)
-        w_ni = jnp.where(accepted[None],
-                         indexed.index_to_limbs(succ_slot_fin), 0)
+        prv_f = jax.lax.cummax(jnp.where(accepted, pos, -1))
+        prv_f = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv_f[:-1]])
+
         inv_order = jnp.zeros((m,), jnp.int32).at[order].set(pos)
-        pos_exist = inv_order[:n]
-        vals2 = jnp.take(w_val, pos_exist, axis=1)
-        nvs2 = jnp.take(w_nv, pos_exist, axis=1)
-        nis2 = jnp.take(w_ni, pos_exist, axis=1)
         pos_new = inv_order[n:]                       # sorted position of i
-        vals2 = vals2.at[:, slots].set(jnp.take(w_val, pos_new, axis=1))
-        nvs2 = nvs2.at[:, slots].set(jnp.take(w_nv, pos_new, axis=1))
-        nis2 = nis2.at[:, slots].set(jnp.take(w_ni, pos_new, axis=1))
         ok = jnp.take(accepted, pos_new)              # per insert, batch order
+        okm = ok[None]
+
+        # K-sized final state (see indexed._plan_batch: only new slots and
+        # their FINAL low leaves change)
+        nxt_new = jnp.take(nxt, pos_new)
+        has_fin = nxt_new < m
+        nxt_c = jnp.clip(nxt_new, 0, m - 1)
+        fin_succ_entry = jnp.take(order, nxt_c)
+        fin_succ_val = jnp.where(has_fin & ok,
+                                 jnp.take(all_vals, fin_succ_entry, axis=1),
+                                 0)
+        fin_succ_slot = jnp.where(has_fin & ok, jnp.take(ss, nxt_c), 0)
+        fin_prev_slot = jnp.take(
+            ss, jnp.clip(jnp.take(prv_f, pos_new), 0, m - 1))
+        low_tgt = jnp.where(ok, fin_prev_slot, n)
+        vals2 = vals.at[:, slots].set(jnp.where(okm, new_vals, 0))
+        nvs2 = nvs.at[:, low_tgt].set(jnp.where(okm, new_vals, 0),
+                                      mode="drop").at[:, slots].set(
+            fin_succ_val)
+        nis2 = nis.at[:, low_tgt].set(
+            indexed.index_to_limbs(jnp.where(ok, slots, 0)),
+            mode="drop").at[:, slots].set(
+            indexed.index_to_limbs(fin_succ_slot))
 
         # ---- temporal planning -------------------------------------------
         # sigma over sorted positions: -1 for existing participants (slot-0
@@ -221,8 +232,11 @@ def _insert_batch_witness_fn(depth: int, k: int, full_depth: int,
         succ_pos_c = jnp.clip(succ_pos, 0, m - 1)
 
         low_slot = jnp.take(ss, low_pos_c).astype(jnp.int32)      # L_i
-        low_val = jnp.take(sv, low_pos_c, axis=1)                 # [16, K]
-        succ_val = jnp.where(has_succ, jnp.take(sv, succ_pos_c, axis=1), 0)
+        low_val = jnp.take(all_vals, jnp.take(order, low_pos_c),
+                           axis=1)                                # [16, K]
+        succ_val = jnp.where(
+            has_succ,
+            jnp.take(all_vals, jnp.take(order, succ_pos_c), axis=1), 0)
         succ_slot = jnp.where(has_succ, jnp.take(ss, succ_pos_c),
                               0).astype(jnp.int32)
         succ_idx = indexed.index_to_limbs(succ_slot)              # [16, K]

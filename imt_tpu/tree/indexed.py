@@ -678,8 +678,6 @@ def _plan_batch(vals, nvs, nis, new_vals, count, n: int, k: int):
     all_vals = jnp.concatenate([vals, new_vals], axis=1)       # [16, M]
     all_slots = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), slots])               # [M]
-    is_new = jnp.concatenate(
-        [jnp.zeros(n, dtype=bool), jnp.ones(k, dtype=bool)])
 
     # Ascending sort by (value, slot).  ONE lax.sort call with 9 keys:
     # 8 uint32 keys packing two 16-bit limbs each (most-significant
@@ -696,66 +694,68 @@ def _plan_batch(vals, nvs, nis, new_vals, count, n: int, k: int):
                   jnp.arange(m, dtype=jnp.int32)),
         num_keys=9)
     order = sorted_ops[-1]
-    sv = jnp.take(all_vals, order, axis=1)                     # sorted values
-    ss = jnp.take(all_slots, order)                            # sorted slots
-    snew = jnp.take(is_new, order)
+    ss = sorted_ops[8].astype(jnp.int32)    # sorted slots (the 9th sort key)
 
     # Participation: position 0 is the slot-0 sentinel (value 0, slot 0 is
     # the global minimum pair).  Any later entry equal to its predecessor
     # is a duplicate: empty existing slots tie the sentinel's 0, duplicate
     # or zero new values tie their first occurrence -> all rejected.
-    eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
+    # Value equality reads the SORTED KEYS (keys 0..7 are exactly the 254
+    # value bits) — no [16, M] gather of sorted values is ever materialized.
+    eq_prev = sorted_ops[0][1:] == sorted_ops[0][:-1]
+    for r in range(1, 8):
+        eq_prev &= sorted_ops[r][1:] == sorted_ops[r][:-1]
     accepted = jnp.concatenate([jnp.ones(1, dtype=bool), ~eq_prev])
 
-    # Successor pointers among accepted entries (sorted order), skipping
-    # rejected entries: next accepted position via reverse cumulative min.
+    # Successor/predecessor positions among accepted entries.
     pos = jnp.arange(m, dtype=jnp.int32)
-    idx_if_acc = jnp.where(accepted, pos, m)
-    nxt = jax.lax.cummin(idx_if_acc, reverse=True)
+    nxt = jax.lax.cummin(jnp.where(accepted, pos, m), reverse=True)
     nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])  # strict >
-    has_next = nxt < m
-    nxt_c = jnp.clip(nxt, 0, m - 1)
-    succ_val = jnp.where(has_next, jnp.take(sv, nxt_c, axis=1),
-                         jnp.zeros_like(sv))
-    succ_slot = jnp.where(has_next, jnp.take(ss, nxt_c), 0).astype(jnp.int32)
-
-    # Predecessor (low-leaf) slot per sorted position, for the dirty set:
-    # last accepted position strictly before each position.
-    idx_if_acc2 = jnp.where(accepted, pos, -1)
-    prv = jax.lax.cummax(idx_if_acc2)
+    prv = jax.lax.cummax(jnp.where(accepted, pos, -1))
     prv = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv[:-1]])
-    prev_slot = jnp.take(ss, jnp.clip(prv, 0, m - 1)).astype(jnp.int32)
 
-    # Final per-entry leaf state (in sorted order): rejected/empty -> zeros.
-    w_val = jnp.where(accepted[None], sv, 0)
-    w_nv = jnp.where(accepted[None], succ_val, 0)
-    w_ni = jnp.where(accepted[None], index_to_limbs(succ_slot), 0)
+    # Everything below is K-sized: only the K new entries and their low
+    # leaves can change state.  An existing OCCUPIED slot's value never
+    # changes; its pointers change iff it is the low leaf of an accepted
+    # new entry (its sorted successor is that entry); empty slots stay
+    # zero.  The former formulation materialized the full final list
+    # ([16, M] where/gather chains — ~40% of the config-5 step); this one
+    # touches O(K) columns.
+    inv_order = jnp.zeros((m,), jnp.int32).at[order].set(pos)
+    pos_new = inv_order[n:]                                    # [K]
+    ok = jnp.take(accepted, pos_new)
+    okm = ok[None]
 
-    # Back to original entry order via the inverse permutation: entry e
-    # sits at sorted position inv_order[e].  Entries 0..n-1 ARE the slots
-    # 0..n-1 in order, so the existing part needs no scatter at all; the
-    # k new entries then overwrite their (previously empty) slots — two
-    # sequenced writes, no duplicate-index scatter ambiguity.
-    # (inverse by scatter, not argsort: one scatter vs a full sort)
-    inv_order = jnp.zeros((m,), jnp.int32).at[order].set(
-        jnp.arange(m, dtype=jnp.int32))
-    pos_exist = inv_order[:n]
-    vals2 = jnp.take(w_val, pos_exist, axis=1)
-    nvs2 = jnp.take(w_nv, pos_exist, axis=1)
-    nis2 = jnp.take(w_ni, pos_exist, axis=1)
-    pos_new = inv_order[n:]
-    vals2 = vals2.at[:, slots].set(jnp.take(w_val, pos_new, axis=1))
-    nvs2 = nvs2.at[:, slots].set(jnp.take(w_nv, pos_new, axis=1))
-    nis2 = nis2.at[:, slots].set(jnp.take(w_ni, pos_new, axis=1))
+    nxt_new = jnp.take(nxt, pos_new)
+    has_succ = nxt_new < m
+    nxt_c = jnp.clip(nxt_new, 0, m - 1)
+    succ_entry = jnp.take(order, nxt_c)                        # entry id
+    succ_val = jnp.where(has_succ & ok,
+                         jnp.take(all_vals, succ_entry, axis=1), 0)
+    succ_slot = jnp.where(has_succ & ok, jnp.take(ss, nxt_c), 0)
+    prev_slot = jnp.take(ss, jnp.clip(jnp.take(prv, pos_new), 0, m - 1))
+
+    # new-slot rows (zeros on rejected lanes — the consumed-slot contract)
+    row_val = jnp.where(okm, new_vals, 0)
+    row_ni = index_to_limbs(succ_slot)
+    # low-leaf pointer rewrites: target may itself be a new slot, in which
+    # case the new-row scatter that FOLLOWS overwrites it with the same
+    # successor — ordering makes the chain consistent.
+    low_tgt = jnp.where(ok, prev_slot, n)                      # n = dropped
+    vals2 = vals.at[:, slots].set(row_val)
+    nvs2 = nvs.at[:, low_tgt].set(jnp.where(okm, new_vals, 0),
+                                  mode="drop").at[:, slots].set(succ_val)
+    nis2 = nis.at[:, low_tgt].set(index_to_limbs(jnp.where(ok, slots, 0)),
+                                  mode="drop").at[:, slots].set(row_ni)
 
     # --- dirty leaves: the K new slots + their low leaves ----------------
-    dirty_low = jnp.take(prev_slot, pos_new)
-    dirty = jnp.concatenate([dirty_low, slots]).astype(jnp.int32)
+    # (rejected lanes contribute their unchanged low leaf — an idempotent
+    # rehash of an untouched column)
+    dirty = jnp.concatenate([prev_slot, slots]).astype(jnp.int32)
     dirty_hash = poseidon_jax.hash3_leaf(
         jnp.take(vals2, dirty, axis=1),
         jnp.take(nvs2, dirty, axis=1),
         jnp.take(nis2, dirty, axis=1))
-    ok = jnp.take(accepted, pos_new)  # per-insert acceptance, batch order
     return vals2, nvs2, nis2, dirty, dirty_hash, ok
 
 

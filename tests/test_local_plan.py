@@ -1,0 +1,121 @@
+"""Shard-local batched-insert planner: bit-exact vs the single-device
+planner, with only O(K) collectives (see parallel/local_plan.py and
+tools/collective_inventory.py).  Runs in a subprocess with a 4-virtual-
+device CPU mesh (same rationale as tests/test_parallel.py)."""
+
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import os
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import random
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from imt_tpu.ops import field
+from imt_tpu.parallel import sharded, local_plan
+from imt_tpu.tree.indexed import IndexedMerkleTree
+
+assert len(jax.devices()) == 4, jax.devices()
+mesh = sharded.make_mesh(4)
+rng = random.Random(0x10CA1)
+
+depth, k = 7, 8
+st = IndexedMerkleTree(depth)
+# place state shard-wise like ShardedIndexedMerkleTree does
+shard = NamedSharding(mesh, P(None, "shard"))
+repl = NamedSharding(mesh, P())
+def place(t):
+    t.vals = jax.device_put(t.vals, shard)
+    t.next_vals = jax.device_put(t.next_vals, shard)
+    t.next_idxs = jax.device_put(t.next_idxs, shard)
+    t.levels = tuple(
+        jax.device_put(l, shard if l.shape[1] % 4 == 0 and l.shape[1] >= 4
+                       else repl) for l in t.levels)
+place(st)
+ref = IndexedMerkleTree(depth)
+
+batches = []
+inserted = []
+for b in range(5):
+    vals = []
+    for _ in range(k):
+        r = rng.random()
+        if r < 0.2 and inserted:
+            vals.append(rng.choice(inserted))          # duplicate of existing
+        elif r < 0.3 and vals:
+            vals.append(vals[0])                       # intra-batch duplicate
+        elif r < 0.35:
+            vals.append(0)                             # zero (rejected)
+        else:
+            v = rng.randrange(1, field.P)
+            vals.append(v)
+    batches.append(vals)
+    inserted += [v for v in vals if v]
+
+for b, vals in enumerate(batches):
+    arr = field.ints_to_limbs(vals)
+    ok_l = np.asarray(local_plan.local_insert_batch(
+        st, jax.device_put(jnp.asarray(arr), repl), mesh, k))
+    ok_r = np.asarray(ref.insert_batch(list(vals)))
+    assert ok_l.tolist() == ok_r.tolist(), (b, ok_l, ok_r)
+    assert st.get_root_int() == ref.get_root_int(), f"root mismatch batch {b}"
+    # full leaf-state parity, not just the root
+    for name in ("vals", "next_vals", "next_idxs"):
+        assert (np.asarray(getattr(st, name))
+                == np.asarray(getattr(ref, name))).all(), (b, name)
+
+# proofs from the locally-planned tree verify like the reference ones
+proof, helpers = st.get_proof(1)
+rp, rh = ref.get_proof(1)
+assert (np.asarray(proof) == np.asarray(rp)).all()
+
+# small-K config exercises the dirty-path branch below the local width
+# switch (the K=8 config switches to full local rebuild at level 0)
+st2, ref2 = IndexedMerkleTree(8), IndexedMerkleTree(8)
+place(st2)
+for b in range(3):
+    vals = [rng.randrange(1, field.P) for _ in range(2)]
+    arr = jax.device_put(jnp.asarray(field.ints_to_limbs(vals)), repl)
+    ok_l = np.asarray(local_plan.local_insert_batch(st2, arr, mesh, 2))
+    ok_r = np.asarray(ref2.insert_batch(list(vals)))
+    assert ok_l.tolist() == ok_r.tolist(), b
+    assert st2.get_root_int() == ref2.get_root_int(), b
+
+# the flagged container API: ShardedIndexedMerkleTree(local_plan=True)
+from imt_tpu.parallel.sharded import ShardedIndexedMerkleTree
+sp = ShardedIndexedMerkleTree(24, mesh=mesh, sparse=True,
+                              initial_capacity_log2=4, local_plan=True)
+rp24 = ShardedIndexedMerkleTree(24, mesh=mesh, sparse=True,
+                                initial_capacity_log2=4)
+for b in range(2):
+    vals = [rng.randrange(1, field.P) for _ in range(8)]
+    assert sp.insert_batch(vals).tolist() == rp24.insert_batch(vals).tolist()
+    assert sp.get_root_int() == rp24.get_root_int(), b
+print("LOCAL-PLAN-OK")
+"""
+
+
+def test_local_plan_bit_exact_subprocess():
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(here, "_local_plan_check.py")
+    with open(script, "w") as f:
+        f.write(_SCRIPT)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(here)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, script], env=env,
+                         capture_output=True, text=True, timeout=1500,
+                         cwd=os.path.dirname(here))
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "LOCAL-PLAN-OK" in out.stdout

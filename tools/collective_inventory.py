@@ -141,18 +141,33 @@ def main():
     qstep = indexed._non_inclusion_witness_fn(depth, k, depth, tree.node_repr)
     report("non_inclusion_witness (GSPMD)", qstep, (*state, new_vals))
 
-    # the check SCALING.md's model hinges on: no collective moves a full
-    # state array (the sort/scatter partitioning must keep resharding to
-    # O(K + boundary), not O(N))
-    bad = [(name, kind, shape, nbytes)
-           for name, (rows, _) in reports.items()
-           for kind, shape, nbytes in rows if nbytes >= state_bytes]
-    if bad:
-        print("\nFULL-STATE COLLECTIVES FOUND:")
-        for b in bad:
+    # the shard-local planner (parallel/local_plan.py): collectives must be
+    # O(K) — candidate gathers, the sharded dirty-hash gather, one root
+    # gather — with NOTHING proportional to N
+    from imt_tpu.parallel import local_plan
+    key = (tuple(dev.id for dev in mesh.devices.flat),)
+    local_plan._MESHES[key] = mesh
+    lstep = local_plan._local_insert_batch_fn(depth, k, d, key,
+                                              tree.node_repr)
+    lrows, _ = report("insert_batch (shard-local planner)", lstep.run,
+                      (*state[:3], *state[3], new_vals, jnp.int32(0)))
+
+    # the check SCALING.md's model hinges on: the LOCAL-PLAN path must keep
+    # every collective below a full state array (the GSPMD paths are known
+    # to all-gather the state through the sort — that is exactly what the
+    # fallback exists to avoid; report both)
+    for name, (rows, _) in reports.items():
+        bad = [(kind, shape, nbytes) for kind, shape, nbytes in rows
+               if nbytes >= state_bytes]
+        tag = "FULL-STATE collectives" if bad else "all collectives O(K)"
+        print(f"{name}: {tag}" + (f" — {bad}" if bad else ""))
+    lbad = [r for r in lrows if r[2] >= state_bytes]
+    if lbad:
+        print("\nFAIL: shard-local planner moves full-state collectives:")
+        for b in lbad:
             print("  ", b)
         sys.exit(1)
-    print("\nOK: no collective moves a full [16, N] state array")
+    print("\nOK: shard-local planner moves no full [16, N] state array")
 
 
 if __name__ == "__main__":
