@@ -264,8 +264,8 @@ class ShardedIndexedMerkleTree:
         return self._inner.to_arrays()
 
     @classmethod
-    def from_arrays(cls, arrays: dict, mesh: Mesh | None = None
-                    ) -> "ShardedIndexedMerkleTree":
+    def from_arrays(cls, arrays: dict, mesh: Mesh | None = None,
+                    local_plan: bool = False) -> "ShardedIndexedMerkleTree":
         """Resume a checkpoint onto a mesh: rebuild the inner tree from the
         leaf SoA (the reference's rebuild discipline,
         src/indexed_merkle_tree.rs:726-730), then place state shard-wise."""
@@ -277,6 +277,7 @@ class ShardedIndexedMerkleTree:
         self = cls.__new__(cls)
         self._mesh = mesh or make_mesh()
         self.sparse = sparse
+        self.local_plan = local_plan
         self._inner = inner
         self._shard = NamedSharding(self._mesh, P(None, "shard"))
         self._repl = NamedSharding(self._mesh, P())
