@@ -310,3 +310,159 @@ def local_insert_batch(tree, new_vals, mesh: Mesh, k: int):
         jnp.asarray(new_vals), jnp.int32(tree.count))
     tree.count += k
     return ok
+
+
+# ---------------------------------------------------------------------------
+# Shard-local non-inclusion witness — the query-side twin of the planner.
+#
+# The GSPMD-partitioned `_non_inclusion_witness_fn` pays the same measured
+# full-state all-gather through its 9-key sort (SCALING.md §2).  Here each
+# shard finds its local below1 candidate per query (largest local
+# participant <= q; an equal value sorts BEFORE the query, so duplicates are
+# caught and ok comes back False), one O(K) exchange reduces the global low
+# leaf, and the proof is assembled with O(K·depth) gathers: the owner shard
+# contributes the sharded-level siblings (combined with ONE psum — exact,
+# every non-owner adds zeros), and the top of the tree is replicated.
+# Witness semantics identical to tree/indexed._non_inclusion_witness_fn
+# (reference verify_non_inclusion, src/indexed_merkle_tree.rs:127-229).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _local_non_inclusion_fn(depth: int, k: int, d: int, mesh_key,
+                            full_depth: int, nr: str = ""):
+    mesh = _MESHES[mesh_key]
+    n = 1 << depth
+    c = n // d                       # slots per shard
+    l_loc = c.bit_length() - 1       # sharded levels: 0..l_loc
+    m_loc = c + k
+
+    def shard_fn(vals, nvs, nis, *rest):
+        lower = rest[:l_loc + 1]     # sharded levels 0..l_loc
+        top = rest[l_loc + 1:-1]     # replicated levels l_loc+1..depth
+        queries = rest[-1]           # replicated [16, K]
+        sid = jax.lax.axis_index("shard")
+        off = sid * c
+        gslot = off + jnp.arange(c, dtype=jnp.int32)
+
+        # ---- 1. local below1 candidate per query -----------------------
+        participant = (~field.is_zero(vals)) | (gslot == 0)
+        all_vals = jnp.concatenate([vals, queries], axis=1)    # [16, M_loc]
+        is_query = jnp.concatenate(
+            [jnp.zeros(c, jnp.uint32), jnp.ones(k, jnp.uint32)])
+        part_all = jnp.concatenate([participant, jnp.zeros(k, bool)])
+        sorted_ops = jax.lax.sort(
+            _pack_keys(all_vals) + (is_query,
+                                    jnp.arange(m_loc, dtype=jnp.int32)),
+            num_keys=9)
+        order = sorted_ops[-1]
+        part_s = jnp.take(part_all, order)
+        pos = jnp.arange(m_loc, dtype=jnp.int32)
+        prv = jax.lax.cummax(jnp.where(part_s, pos, -1))
+        prv = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv[:-1]])
+        inv = jnp.zeros((m_loc,), jnp.int32).at[order].set(pos)
+        qpos = inv[c:]                                          # [K]
+        lo_p = jnp.take(prv, qpos)
+        lo_found = lo_p >= 0
+        lo_e = jnp.take(order, jnp.clip(lo_p, 0, m_loc - 1))    # local slot
+        lo_c = jnp.clip(lo_e, 0, c - 1)    # participants are slots (< c)
+        lo_val = jnp.take(vals, lo_c, axis=1) * lo_found
+        lo_nv = jnp.take(nvs, lo_c, axis=1) * lo_found
+        lo_ni = jnp.take(nis, lo_c, axis=1) * lo_found
+        lo_slot = jnp.where(lo_found, off + lo_c, 0)
+
+        # ---- 2. O(K) exchange + global reduction ------------------------
+        ag = lambda x: jax.lax.all_gather(x, "shard")
+        cand_v, cand_s, cand_f = ag(lo_val), ag(lo_slot), ag(lo_found)
+        cand_nv, cand_ni = ag(lo_nv), ag(lo_ni)
+        best_v, best_s, best_f = cand_v[0], cand_s[0], cand_f[0]
+        best_nv, best_ni = cand_nv[0], cand_ni[0]
+        for i in range(1, d):
+            v, f = cand_v[i], cand_f[i]
+            better = f & (~best_f | field.less_than(best_v, v))
+            bm = better[None]
+            best_v = jnp.where(bm, v, best_v)
+            best_nv = jnp.where(bm, cand_nv[i], best_nv)
+            best_ni = jnp.where(bm, cand_ni[i], best_ni)
+            best_s = jnp.where(better, cand_s[i], best_s)
+            best_f = best_f | f
+        low_slot_g = jnp.where(best_f, best_s, 0)
+
+        # witness exists iff low.val < q and (q < low.next_val or tail)
+        ok = (best_f & field.less_than(best_v, queries)
+              & (field.less_than(queries, best_nv)
+                 | field.is_zero(best_nv)))
+
+        # ---- 3. proof: owner-shard gathers + ONE psum -------------------
+        owned = (low_slot_g >= off) & (low_slot_g < off + c)
+        proof, helpers = [], []
+        cur = jnp.clip(low_slot_g - off, 0, c - 1)
+        for l in range(l_loc):
+            width = c >> l
+            sib = jnp.take(lower[l],
+                           jnp.clip(cur, 0, width - 1) ^ 1, axis=1)
+            contrib = jnp.where(owned[None], sib, 0)
+            proof.append(jax.lax.psum(contrib, "shard"))
+            helpers.append(((low_slot_g >> l) % 2 == 0).astype(jnp.int32))
+            cur = cur >> 1
+        # shard-root level + replicated top
+        roots = jax.lax.all_gather(lower[l_loc], "shard",
+                                   axis=1, tiled=True)           # [CH, D]
+        rep_levels = [roots] + list(top)
+        cur_g = low_slot_g >> l_loc
+        for l in range(l_loc, depth):
+            sib = jnp.take(rep_levels[l - l_loc], cur_g ^ 1, axis=1)
+            proof.append(sib)
+            helpers.append(((low_slot_g >> l) % 2 == 0).astype(jnp.int32))
+            cur_g = cur_g >> 1
+        proof = jnp.stack(proof)                    # [depth, CH, K]
+        helpers = jnp.stack(helpers)                # [depth, K]
+        root_n = rep_levels[-1]
+        if full_depth != depth:
+            proof, helpers = indexed._extend_proof(
+                proof, helpers, depth, full_depth)
+            root_n = indexed._spine_fold(root_n, depth, full_depth)
+
+        # witness boundary: decode to canonical limbs
+        proof = indexed._dec_path(proof)
+        root = jnp.broadcast_to(hashing.dec_nodes(root_n),
+                                (field.LIMBS, k))
+        return (ok, root, best_v, best_nv, best_ni, proof, helpers,
+                field.is_zero(best_nv))
+
+    sharded = P(None, "shard")
+    repl = P()
+    in_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
+                + (repl,) * (depth - l_loc) + (repl,))
+    out_specs = (repl,) * 8
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs, check_vma=False)
+    def run(*args):
+        return shard_fn(*args)
+
+    def query(vals, nvs, nis, levels, queries):
+        out = run(vals, nvs, nis, *levels, queries)
+        return dict(ok=out[0], root=out[1], low_leaf_val=out[2],
+                    low_leaf_next_val=out[3], low_leaf_next_idx=out[4],
+                    low_leaf_proof=out[5], low_leaf_proof_helper=out[6],
+                    is_new_leaf_largest=out[7])
+
+    query.run = run         # raw jitted program (collective inventory)
+    return query
+
+
+def local_non_inclusion_witness(tree, queries, mesh: Mesh, k: int):
+    """Shard-local non-inclusion witnesses for `queries` on `tree` (the
+    inner dense or sparse-prefix tree of a ShardedIndexedMerkleTree).
+    Read-only; returns the device-resident witness dict."""
+    d = mesh.devices.size
+    depth = getattr(tree, "active_depth", tree.tree_depth)
+    if (1 << depth) % d or (1 << depth) < 2 * d:
+        raise ValueError(f"2^{depth} slots not shardable over {d} devices")
+    key = (tuple(dev.id for dev in mesh.devices.flat),)
+    _MESHES[key] = mesh
+    f = _local_non_inclusion_fn(depth, k, d, key, tree.tree_depth,
+                                tree.node_repr)
+    return f(tree.vals, tree.next_vals, tree.next_idxs, tree.levels,
+             jnp.asarray(queries))

@@ -250,9 +250,30 @@ class ShardedIndexedMerkleTree:
         return out
 
     def non_inclusion_witness(self, values, as_numpy: bool = True):
-        from ..tree.indexed import _as_limb_batch
+        from ..tree.indexed import (NonInclusionWitness, _as_limb_batch,
+                                    _debug_witness,
+                                    check_non_inclusion_witness)
         queries, k = _as_limb_batch(values)
         d = self._mesh.devices.size
+        if self.local_plan:
+            # shard-local path: O(K) collectives instead of the GSPMD
+            # full-state all-gather (parallel/local_plan.py)
+            from . import local_plan
+            ad = self.active_depth
+            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+                from ..utils.observability import GLOBAL_METRICS
+                GLOBAL_METRICS.record_queries(k)
+                w = local_plan.local_non_inclusion_witness(
+                    self._inner, jax.device_put(queries, self._repl),
+                    self._mesh, k)
+                if not as_numpy:
+                    return NonInclusionWitness(**w)
+                wit = NonInclusionWitness(ok=np.asarray(w["ok"]), **{
+                    key: v for key, v in w.items() if key != "ok"})
+                if _debug_witness:
+                    check_non_inclusion_witness(wit, queries)
+                return wit
+            # active prefix too small to shard: GSPMD fallback below
         qsh = self._shard if (k % d == 0 and k >= d) else self._repl
         # dense and sparse inner trees share the signature — forward
         # as_numpy unconditionally so the device-resident pipelining

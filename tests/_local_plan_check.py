@@ -80,6 +80,29 @@ for b in range(3):
     assert ok_l.tolist() == ok_r.tolist(), b
     assert st2.get_root_int() == ref2.get_root_int(), b
 
+# shard-local non-inclusion witness: field-exact vs the single-device path,
+# including duplicate (present) queries -> ok=False
+queries = ([rng.randrange(1, field.P) for _ in range(5)]
+           + [inserted[0], inserted[-1], 0])
+qarr = jax.device_put(jnp.asarray(field.ints_to_limbs(queries)), repl)
+wl = local_plan.local_non_inclusion_witness(st, qarr, mesh, len(queries))
+wr = ref.non_inclusion_witness(list(queries))
+assert np.asarray(wl["ok"]).tolist() == wr.ok.tolist()
+assert not np.asarray(wl["ok"])[5:7].any(), "present values must fail"
+for f_ in ("root", "low_leaf_val", "low_leaf_next_val", "low_leaf_next_idx",
+           "low_leaf_proof", "low_leaf_proof_helper", "is_new_leaf_largest"):
+    okm = np.asarray(wl["ok"])
+    a, b_ = np.asarray(wl[f_]), np.asarray(getattr(wr, f_))
+    assert (a[..., okm] == b_[..., okm]).all(), f_
+# and the verify predicate accepts every ok lane
+from imt_tpu.tree.indexed import verify_non_inclusion
+pred = np.asarray(verify_non_inclusion(
+    wl["root"], wl["low_leaf_val"], wl["low_leaf_next_val"],
+    wl["low_leaf_next_idx"], wl["low_leaf_proof"],
+    wl["low_leaf_proof_helper"], jnp.asarray(np.asarray(qarr)),
+    jnp.asarray(np.asarray(wl["is_new_leaf_largest"]))))
+assert (pred[np.asarray(wl["ok"])]).all()
+
 # the flagged container API: ShardedIndexedMerkleTree(local_plan=True)
 from imt_tpu.parallel.sharded import ShardedIndexedMerkleTree
 sp = ShardedIndexedMerkleTree(24, mesh=mesh, sparse=True,
@@ -90,4 +113,13 @@ for b in range(2):
     vals = [rng.randrange(1, field.P) for _ in range(8)]
     assert sp.insert_batch(vals).tolist() == rp24.insert_batch(vals).tolist()
     assert sp.get_root_int() == rp24.get_root_int(), b
+# container-level local non-inclusion witness on the sharded-sparse tree
+# (full tree_depth=24 proofs over the zero spine)
+qs = [rng.randrange(1, field.P) for _ in range(4)]
+wls = sp.non_inclusion_witness(qs)
+wrs = rp24.non_inclusion_witness(qs)
+assert wls.ok.tolist() == wrs.ok.tolist()
+assert (np.asarray(wls.low_leaf_proof)[..., wls.ok]
+        == np.asarray(wrs.low_leaf_proof)[..., wls.ok]).all()
+assert (np.asarray(wls.root) == np.asarray(wrs.root)).all()
 print("LOCAL-PLAN-OK")
