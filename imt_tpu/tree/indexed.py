@@ -555,6 +555,7 @@ def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
     def run(vals, nvs, nis, levels, new_vals, count0):
         # new_vals: [B, 16, K]
         lower = tuple(levels[:cross + 1])
+        b = new_vals.shape[0]
 
         def body(carry, nv):
             vals, nvs, nis, lower, count = carry
@@ -563,8 +564,20 @@ def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
             lower = _update_paths_trunc(lower, dirty, dirty_hash, cross)
             return (vals2, nvs2, nis2, lower, count + k), ok
 
-        (vals, nvs, nis, lower, _), oks = jax.lax.scan(
-            body, (vals, nvs, nis, lower, count0), new_vals)
+        carry = (vals, nvs, nis, lower, count0)
+        if b <= 8 and _os.environ.get("IMT_CHAIN_SCAN") != "1":
+            # unrolled: lax.scan's loop carries constrain XLA scheduling /
+            # buffer aliasing around the per-batch pallas hash calls and
+            # measured ~2.6x the predicted per-batch device time at the
+            # BASELINE config-4 shape; small chains inline the b bodies
+            oks = []
+            for i in range(b):
+                carry, ok = body(carry, new_vals[i])
+                oks.append(ok)
+            oks = jnp.stack(oks)
+        else:
+            carry, oks = jax.lax.scan(body, carry, new_vals)
+        vals, nvs, nis, lower, _ = carry
         # ONE full top rebuild for the whole chain
         out = list(lower)
         for _ in range(cross, depth):

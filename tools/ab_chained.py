@@ -45,7 +45,7 @@ def main():
 
     rng = random.Random(0xAB)
     k, iters = args.k, args.iters
-    n_pre = iters * (args.rounds + 1) * 3 + 3
+    n_pre = iters * (args.rounds + 1) * 6 + 3
 
     log(f"pre-packing {n_pre} batches of {k} ...")
     batches = [np.asarray(field.ints_to_limbs(
@@ -79,7 +79,10 @@ def main():
 
     def run_chained(tag, b):
         tree = fresh()
-        warm = np.stack(take(b))
+        # warm with a half group when a full warm+timed sequence would
+        # overflow the 2^cap slots (b=8, iters=8: 16 batches = cap)
+        wb = b if (b + iters) * k < (1 << args.cap) - 1 else b // 2
+        warm = np.stack(take(wb))
         t0 = time.time()
         tree.insert_batches(warm, as_numpy=True)
         log(f"{tag}: compile+first {time.time()-t0:.1f}s")
@@ -94,15 +97,46 @@ def main():
             f"(accepted {total})")
         return n / dt
 
-    results = {"percall": [], f"chain{args.group}": [], "chain1": []}
+    import os
+    from imt_tpu.tree import indexed
+
+    # build each chained variant's jitted program ONCE (compiles are paid a
+    # single time; rounds then interleave warm programs — tunnel-noise-safe)
+    nr = fresh().node_repr
+    os.environ["IMT_CHAIN_SCAN"] = "0"
+    fn_u = {b: indexed._insert_batches_fn(args.cap, k, b, nr)
+            for b in (4, 8)}
+    os.environ["IMT_CHAIN_SCAN"] = "1"
+    indexed._insert_batches_fn.cache_clear()
+    fn_s = {4: indexed._insert_batches_fn(args.cap, k, 4, nr)}
+    os.environ["IMT_CHAIN_SCAN"] = "0"
+    table = {}
+
+    def dispatch(depth, k_, b, nr_=""):
+        return table[b]
+    indexed._insert_batches_fn = dispatch
+
+    def chained(tag, b, fns):
+        table[b] = fns[b]
+        if b // 2 in fns:
+            table[b // 2] = fns[b // 2]   # half-group warm (see run_chained)
+        return run_chained(tag, b)
+
+    variants = [
+        ("percall", lambda tag: run_percall(tag)),
+        ("chain4u", lambda tag: chained(tag, 4, fn_u)),
+        ("chain8u", lambda tag: chained(tag, 8, fn_u)),
+        ("chain4s", lambda tag: chained(tag, 4, fn_s)),
+    ]
+    results = {tag: [] for tag, _ in variants}
     for r in range(args.rounds):
-        results["percall"].append(run_percall(f"r{r} percall"))
-        results[f"chain{args.group}"].append(
-            run_chained(f"r{r} chain{args.group}", args.group))
-        results["chain1"].append(run_chained(f"r{r} chain1", 1))
+        for tag, fn in variants:
+            results[tag].append(fn(f"r{r} {tag}"))
     import statistics
     for tag, vs in results.items():
-        log(f"median {tag}: {statistics.median(vs):,.0f} inserts/s")
+        log(f"median {tag}: {statistics.median(vs):,.0f} inserts/s "
+            f"(discard-r0 median "
+            f"{statistics.median(vs[1:]) if len(vs) > 1 else vs[0]:,.0f})")
 
 
 if __name__ == "__main__":
