@@ -213,11 +213,10 @@ def bench_non_inclusion(depth: int, n_leaves: int, k: int,
     verify = jax.jit(indexed.verify_non_inclusion)   # eager would pay the
     # tunnel's ~300ms RPC per op; one jitted program instead
 
-    # pre-pack all query batches: python-bigint -> limb packing is host work
-    # that would otherwise sit inside the timed loop
-    qbatches = [jax.numpy.asarray(field.ints_to_limbs(
-        [rng.randrange(1, 1 << 253) for _ in range(k)]))
-        for _ in range(iters + 1)]
+    # pre-pack all query batches (vectorized numpy packing — host work that
+    # would otherwise sit inside the timed loop)
+    qbatches = [jax.numpy.asarray(field.random_limbs(0xBEEF + i, k))
+                for i in range(iters + 1)]
 
     def round_trip(qlimbs):
         # witness stays on device and chains straight into the jitted
@@ -258,10 +257,8 @@ def bench_single_insert(depth: int, iters: int, chunk: int = 16) -> float:
     from imt_tpu.ops import field
     from imt_tpu.tree.sparse import SparseIndexedMerkleTree
 
-    rng = random.Random(0xF00D)
-    chunks = [field.ints_to_limbs(
-        [rng.randrange(1, 1 << 253) for _ in range(chunk)])
-        for _ in range(iters // chunk + 1)]
+    chunks = [field.random_limbs(0xF00D + i, chunk)
+              for i in range(iters // chunk + 1)]
     tree = SparseIndexedMerkleTree(depth, initial_capacity_log2=12)
     t0 = time.time()
     tree.insert_seq(chunks[0])
@@ -305,11 +302,8 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int,
     from imt_tpu.utils.observability import trace
 
     cap = max(14, (k * (iters + 1) + 2).bit_length())
-    rng = random.Random(0xCAFE)
     log(f"pre-packing {iters + 1} batches of {k} values ...")
-    batches = [field.ints_to_limbs(
-        [rng.randrange(1, 1 << 253) for _ in range(k)])
-        for _ in range(iters + 1)]
+    batches = [field.random_limbs(0xCAFE + i, k) for i in range(iters + 1)]
 
     def fresh():
         return SparseIndexedMerkleTree(depth, initial_capacity_log2=cap)

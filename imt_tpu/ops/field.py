@@ -72,6 +72,22 @@ def ints_to_limbs(xs) -> np.ndarray:
         out[:, j] = int_to_limbs(x)
     return out
 
+def random_limbs(seed: int, k: int, bits: int = 253) -> np.ndarray:
+    """uint32[16, K] of uniform random nonzero values < 2^bits (< p), packed
+    directly with numpy — bench/tool batch generation without the per-value
+    python-bigint path (ints_to_limbs costs ~1.5 ms/value; this is ~1 µs)."""
+    rng = np.random.default_rng(seed)
+    out = rng.integers(0, 1 << LIMB_BITS, (LIMBS, k), dtype=np.uint32)
+    top, rem = divmod(bits, LIMB_BITS)
+    out[top + 1:] = 0
+    if rem:
+        out[top] &= (1 << rem) - 1
+    else:
+        out[top] = 0
+    out[0] |= 1          # nonzero (zero is the list sentinel, rejected)
+    return out
+
+
 def limbs_to_int(a) -> int:
     """uint32[16] -> python int."""
     a = np.asarray(a)

@@ -166,3 +166,15 @@ def test_eq_is_zero_select():
     cond = np.array([True, False, True, False])
     sel = field.limbs_to_ints(np.asarray(field.select(cond, a, b)))
     assert sel == [xs[0], ys[1], xs[2], ys[3]]
+
+
+def test_random_limbs_batch_generator():
+    """random_limbs: deterministic, nonzero, < 2^bits, unique whp."""
+    a = field.random_limbs(7, 512)
+    assert a.shape == (field.LIMBS, 512) and a.dtype == np.uint32
+    vals = [field.limbs_to_int(a[:, i]) for i in range(512)]
+    assert all(0 < v < (1 << 253) for v in vals)
+    assert len(set(vals)) == 512
+    assert (a == field.random_limbs(7, 512)).all()
+    c = field.random_limbs(8, 64, bits=16)
+    assert all(0 < field.limbs_to_int(c[:, i]) < (1 << 16) for i in range(64))

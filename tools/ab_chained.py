@@ -48,9 +48,7 @@ def main():
     n_pre = iters * (args.rounds + 1) * 6 + 3
 
     log(f"pre-packing {n_pre} batches of {k} ...")
-    batches = [np.asarray(field.ints_to_limbs(
-        [rng.randrange(1, 1 << 253) for _ in range(k)]))
-        for _ in range(n_pre)]
+    batches = [field.random_limbs(0xAB00 + i, k) for i in range(n_pre)]
     bi = [0]
 
     def take(n):
