@@ -205,15 +205,18 @@ def _gather_proof(levels, idx, depth: int):
 
 def _batch_hash_count(depth: int, k: int) -> int:
     """Fixed-length hashes one insert_batch performs (metrics accounting),
-    mirroring _update_paths' static width switch."""
-    d_width, total, full = 2 * k, 2 * k, False
+    mirroring _update_paths_batch's static slab/low split: the contiguous
+    new-slot slab halves per level (K + K/2 + ...), the K low leaves ride
+    gathered dirty paths, and levels above the crossover rebuild fully."""
+    total, slab, full = 2 * k, k, False       # 2k leaf hashes
     for d in range(depth):
         w = (1 << depth) >> d
-        if full or d_width >= w // 2:
+        if full or k >= w // 2:
             full = True
             total += w // 2
         else:
-            total += d_width
+            slab = slab // 2 + 1
+            total += k + slab
     return total
 
 
@@ -226,31 +229,69 @@ def _crossover(depth: int, d_width: int) -> int:
     return depth
 
 
-def _update_paths_trunc(levels, dirty_idx, dirty_leaves, cross: int):
-    """Dirty-path update of levels[0..cross] ONLY (the region below the
-    width-switch crossover).  Everything above `cross` is recomputed from
-    level `cross` alone by the full rebuild, so a chained multi-batch scan
-    (_insert_batches_fn) carries just this truncated stack and rebuilds the
-    top ONCE at the end — intermediate batches skip the top-of-tree hashes
-    and every narrow-width dispatch entirely."""
-    new_levels = [levels[0].at[:, dirty_idx].set(dirty_leaves)]
-    cur_idx = dirty_idx
+def _batches_hash_count(depth: int, k: int, b: int) -> int:
+    """Fixed-length hashes one chained insert_batches(b, k) call performs
+    (metrics accounting for _insert_batches_fn's truncated-carry schedule
+    with the slab/low split)."""
+    cross = _crossover(depth, k)
+    per_batch, slab = 2 * k, k
+    for _ in range(cross):
+        slab = slab // 2 + 1
+        per_batch += k + slab
+    return b * per_batch + (((1 << depth) >> cross) - 1)
+
+
+def _update_paths_batch(levels, low_idx, low_hash, slab_start, slab_hash,
+                        depth: int, cross: int):
+    """Batched dirty-path update exploiting the slot-cursor structure: the
+    K new slots are CONTIGUOUS ([count+1, count+K]), so their subtree is a
+    dense slab whose width HALVES per level (K + K/2 + ... ≈ 2K hashes
+    total, no gather/scatter) — only the K low leaves need gathered dirty
+    paths.  vs the former uniform treatment (2K arbitrary columns carried
+    through every level) this runs ~1.5x fewer hashes at the BASELINE
+    config-4 shape and crosses over to full-level rebuild one level lower.
+
+    low_idx: int32[K]; low_hash: [CH, K]; slab_start: traced int32 scalar;
+    slab_hash: [CH, K].  `cross` = _crossover(depth, K) (static)."""
+    k = low_hash.shape[1]
+    lvl0 = jax.lax.dynamic_update_slice_in_dim(
+        levels[0].at[:, low_idx].set(low_hash), slab_hash,
+        slab_start, axis=1)
+    new_levels = [lvl0]
+    cur_idx = low_idx
+    s = slab_start
+    w = k
     for d in range(cross):
         level = new_levels[d]
+        width = level.shape[1]
+        # --- slab parents: dense strided slice, halving width ------------
+        # window [ps, ps + w//2 + 1) covers every parent of [s, s + w)
+        # even when s is odd; ps is clamped so child/parent slices agree
+        # at the right edge (recomputes there are idempotent)
+        wp = w // 2 + 1
+        ps = jnp.minimum(s >> 1, jnp.int32(width // 2 - wp))
+        ps = jnp.maximum(ps, 0)
+        kids = jax.lax.dynamic_slice_in_dim(level, 2 * ps, 2 * wp, axis=1)
+        slab_par = poseidon_jax.hash2_nodes(kids[:, 0::2], kids[:, 1::2])
+        nxt = jax.lax.dynamic_update_slice_in_dim(
+            levels[d + 1], slab_par, ps, axis=1)
+        # --- low-leaf parents: gathered dirty columns --------------------
+        # (children read from the slab-updated child level, so slab/low
+        # path collisions recompute identical values)
         parent_idx = cur_idx >> 1
         left = jnp.take(level, parent_idx * 2, axis=1)
         right = jnp.take(level, parent_idx * 2 + 1, axis=1)
         parent = poseidon_jax.hash2_nodes(left, right)
-        new_levels.append(levels[d + 1].at[:, parent_idx].set(parent))
+        new_levels.append(nxt.at[:, parent_idx].set(parent))
         cur_idx = parent_idx
+        s = ps
+        w = wp
+    # --- full-level rebuild above the crossover --------------------------
+    for d in range(cross, depth):
+        level = new_levels[d]
+        parent = poseidon_jax.hash2_nodes(level[:, 0::2], level[:, 1::2])
+        new_levels.append(parent)
     return tuple(new_levels)
-
-
-def _batches_hash_count(depth: int, k: int, b: int) -> int:
-    """Fixed-length hashes one chained insert_batches(b, k) call performs
-    (metrics accounting for _insert_batches_fn's truncated-carry schedule)."""
-    cross = _crossover(depth, 2 * k)
-    return b * (2 * k + 2 * k * cross) + (((1 << depth) >> cross) - 1)
 
 
 def _update_paths(levels, dirty_idx, dirty_leaves, depth: int):
@@ -549,7 +590,7 @@ def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
     the per-batch hash schedule at the BASELINE config-4/5 shapes) plus all
     narrow-width top-of-tree dispatches of the intermediate batches."""
     n = 1 << depth
-    cross = _crossover(depth, 2 * k)
+    cross = _crossover(depth, k)
 
     @jax.jit
     def run(vals, nvs, nis, levels, new_vals, count0):
@@ -559,9 +600,10 @@ def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
 
         def body(carry, nv):
             vals, nvs, nis, lower, count = carry
-            vals2, nvs2, nis2, dirty, dirty_hash, ok = _plan_batch(
-                vals, nvs, nis, nv, count, n, k)
-            lower = _update_paths_trunc(lower, dirty, dirty_hash, cross)
+            (vals2, nvs2, nis2, low_idx, low_hash, slab_start, slab_hash,
+             ok) = _plan_batch(vals, nvs, nis, nv, count, n, k)
+            lower = _update_paths_batch(lower, low_idx, low_hash,
+                                        slab_start, slab_hash, cross, cross)
             return (vals2, nvs2, nis2, lower, count + k), ok
 
         carry = (vals, nvs, nis, lower, count0)
@@ -761,27 +803,38 @@ def _plan_batch(vals, nvs, nis, new_vals, count, n: int, k: int):
     nis2 = nis.at[:, low_tgt].set(index_to_limbs(jnp.where(ok, slots, 0)),
                                   mode="drop").at[:, slots].set(row_ni)
 
-    # --- dirty leaves: the K new slots + their low leaves ----------------
+    # --- dirty leaves: the contiguous new-slot slab + the K low leaves ---
     # (rejected lanes contribute their unchanged low leaf — an idempotent
-    # rehash of an untouched column)
-    dirty = jnp.concatenate([prev_slot, slots]).astype(jnp.int32)
-    dirty_hash = poseidon_jax.hash3_leaf(
-        jnp.take(vals2, dirty, axis=1),
-        jnp.take(nvs2, dirty, axis=1),
-        jnp.take(nis2, dirty, axis=1))
-    return vals2, nvs2, nis2, dirty, dirty_hash, ok
+    # rehash of an untouched column).  ONE width-2K hash3; the halves feed
+    # _update_paths_batch's slab/low split.
+    low_idx = prev_slot.astype(jnp.int32)
+    slab_start = (count + 1).astype(jnp.int32)
+    hashes = poseidon_jax.hash3_leaf(
+        jnp.concatenate([jnp.take(vals2, low_idx, axis=1),
+                         jax.lax.dynamic_slice_in_dim(
+                             vals2, slab_start, k, axis=1)], axis=1),
+        jnp.concatenate([jnp.take(nvs2, low_idx, axis=1),
+                         jax.lax.dynamic_slice_in_dim(
+                             nvs2, slab_start, k, axis=1)], axis=1),
+        jnp.concatenate([jnp.take(nis2, low_idx, axis=1),
+                         jax.lax.dynamic_slice_in_dim(
+                             nis2, slab_start, k, axis=1)], axis=1))
+    low_hash, slab_hash = hashes[:, :k], hashes[:, k:]
+    return vals2, nvs2, nis2, low_idx, low_hash, slab_start, slab_hash, ok
 
 
 @lru_cache(maxsize=None)
 def _insert_batch_fn(depth: int, k: int, nr: str = ""):
     n = 1 << depth
+    cross = _crossover(depth, k)
 
     @jax.jit
     def step(vals, nvs, nis, levels, new_vals, count):
         # new_vals: [16, K] taking slots count+1 .. count+K (batch order)
-        vals2, nvs2, nis2, dirty, dirty_hash, ok = _plan_batch(
-            vals, nvs, nis, new_vals, count, n, k)
-        new_levels = _update_paths(levels, dirty, dirty_hash, depth)
+        vals2, nvs2, nis2, low_idx, low_hash, slab_start, slab_hash, ok = \
+            _plan_batch(vals, nvs, nis, new_vals, count, n, k)
+        new_levels = _update_paths_batch(levels, low_idx, low_hash,
+                                         slab_start, slab_hash, depth, cross)
         return (vals2, nvs2, nis2, new_levels), ok
 
     return step

@@ -61,13 +61,16 @@ def main():
                       jnp.arange(m, dtype=jnp.int32)), num_keys=9)
         return out[-1][:1]
 
+    cross = indexed._crossover(depth, k)
+
     @jax.jit
     def hash_only(vals, nv, levels):
-        # leaf hash3 of the dirty set + the width-switch level schedule
-        d = 2 * k
-        h = hashing.hash3_leaf(vals[:, :d], vals[:, :d], vals[:, :d])
-        dirty = jnp.arange(d, dtype=jnp.int32)
-        out = indexed._update_paths(levels, dirty, h, depth)
+        # leaf hash3 of the dirty set + the slab/low level schedule
+        h = hashing.hash3_leaf(vals[:, :2 * k], vals[:, :2 * k],
+                               vals[:, :2 * k])
+        low_idx = jnp.arange(k, dtype=jnp.int32) * 3 % (n - 1)
+        out = indexed._update_paths_batch(
+            levels, low_idx, h[:, :k], jnp.int32(1), h[:, k:], depth, cross)
         return hashing.dec_nodes(out[-1])
 
     step = indexed._insert_batch_fn(depth, k, tree.node_repr)
@@ -94,8 +97,10 @@ def main():
     def plan_full(vals, nvs, nis, nv):
         out = indexed._plan_batch(vals, nvs, nis, nv, jnp.int32(tree.count),
                                   n, k)
-        vals2, nvs2, nis2, dirty, dirty_hash, ok = out
-        return vals2[:, :1], nvs2[:, :1], nis2[:, :1], dirty[:1], ok[:1]
+        (vals2, nvs2, nis2, low_idx, low_hash, slab_start, slab_hash,
+         ok) = out
+        return (vals2[:, :1], nvs2[:, :1], nis2[:, :1], low_idx[:1],
+                low_hash[:, :1], slab_hash[:, :1], ok[:1])
 
     progs = {
         "null": lambda: null_prog(tree.vals),   # fixed per-sync RPC floor
