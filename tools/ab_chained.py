@@ -48,7 +48,12 @@ def main():
     n_pre = iters * (args.rounds + 1) * 6 + 3
 
     log(f"pre-packing {n_pre} batches of {k} ...")
-    batches = [field.random_limbs(0xAB00 + i, k) for i in range(n_pre)]
+    # pre-STAGE on device: one [16, K] upload through the tunnel costs
+    # ~40 ms — it would otherwise dominate every timed loop below
+    batches = [jax.device_put(field.random_limbs(0xAB00 + i, k))
+               for i in range(n_pre)]
+    for b_ in batches:
+        b_.block_until_ready()
     bi = [0]
 
     def take(n):
@@ -80,12 +85,14 @@ def main():
         # warm with a half group when a full warm+timed sequence would
         # overflow the 2^cap slots (b=8, iters=8: 16 batches = cap)
         wb = b if (b + iters) * k < (1 << args.cap) - 1 else b // 2
-        warm = np.stack(take(wb))
+        warm = jnp.stack(take(wb))
         t0 = time.time()
         tree.insert_batches(warm, as_numpy=True)
         log(f"{tag}: compile+first {time.time()-t0:.1f}s")
         n_groups = iters // b
-        gs = [np.stack(take(b)) for _ in range(n_groups)]
+        gs = [jnp.stack(take(b)) for _ in range(n_groups)]
+        for g_ in gs:
+            g_.block_until_ready()
         t0 = time.time()
         oks = [tree.insert_batches(g, as_numpy=False) for g in gs]
         total = int(np.asarray(jnp.concatenate(oks)).sum())
