@@ -102,6 +102,19 @@ def main():
         return (vals2[:, :1], nvs2[:, :1], nis2[:, :1], low_idx[:1],
                 low_hash[:, :1], slab_hash[:, :1], ok[:1])
 
+    from imt_tpu.tree.batch_witness import _insert_batch_witness_fn
+    wstep = _insert_batch_witness_fn(depth, k, depth, tree.node_repr)
+
+    @jax.jit
+    def whash_only(vals, levels):
+        # the witness walk's hash floor: depth levels of width-2K hash2
+        # plus the 2K leaf hash3 (no sorts, no merges)
+        cur = hashing.hash3_leaf(vals[:, :2 * k], vals[:, :2 * k],
+                                 vals[:, :2 * k])
+        for _ in range(depth):
+            cur = hashing.hash2_nodes(cur, cur)
+        return hashing.dec_nodes(cur[:, :1])
+
     progs = {
         "null": lambda: null_prog(tree.vals),   # fixed per-sync RPC floor
         "plan_sorted": lambda: plan_sorted(tree.vals, tree.next_vals,
@@ -112,6 +125,15 @@ def main():
         "hash": lambda: hash_only(tree.vals, new_vals, tree.levels),
         "step": lambda: step(tree.vals, tree.next_vals, tree.next_idxs,
                              tree.levels, new_vals, jnp.int32(tree.count))[1],
+        "whash": lambda: whash_only(tree.vals, tree.levels),
+        # return proofs + roots + a column of every state level so neither
+        # the level walk nor the final-state scatters are DCE'd
+        "wstep": lambda: (lambda st, w: (w["new_root"][:, :1],
+                                         w["low_leaf_proof"][:1, :, :1],
+                                         w["new_leaf_proof"][:1, :, :1],
+                                         tuple(l[:, -1:] for l in st[3])))(
+            *wstep(tree.vals, tree.next_vals, tree.next_idxs,
+                   tree.levels, new_vals, jnp.int32(tree.count))),
     }
     for name, f in progs.items():
         t0 = time.time()
