@@ -466,3 +466,297 @@ def local_non_inclusion_witness(tree, queries, mesh: Mesh, k: int):
                                 tree.node_repr)
     return f(tree.vals, tree.next_vals, tree.next_idxs, tree.levels,
              jnp.asarray(queries))
+
+
+# ---------------------------------------------------------------------------
+# Shard-local WITNESS-producing batched insert.
+#
+# Same O(K) candidate exchange as the insert planner; the temporal
+# planner (ANSV) runs replicated over the reduced entry table (every
+# temporal low/successor of an insert is either another new entry or a
+# below1/above1 candidate — same sufficiency argument as §3 of the module
+# docstring).  The witness walk's per-level base lookups are pre-gathered
+# with ONE owner-masked psum (the query nodes l_path^1 / n_path^1 per
+# level are known BEFORE the walk), the walk itself runs replicated
+# (hash width 2K per level — the same hash floor as single-chip), and the
+# final-state scatters are owner-masked into the sharded levels.  No
+# full-state collective anywhere: candidates O(K), bases O(K·depth_loc),
+# no root gather (the walk computes the top levels replicated).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _local_insert_batch_witness_fn(depth: int, k: int, d: int, mesh_key,
+                                   full_depth: int, nr: str = ""):
+    mesh = _MESHES[mesh_key]
+    n = 1 << depth
+    c = n // d
+    l_loc = c.bit_length() - 1       # sharded levels: 0..l_loc
+    m_loc = c + k
+    e = 1 + 2 * k + k                # reduced entry table rows
+
+    def shard_fn(vals, nvs, nis, *rest):
+        from ..tree.batch_witness import _ansv_prev, _witness_walk
+        lower = rest[:l_loc + 1]
+        top = rest[l_loc + 1:-2]
+        new_vals, count = rest[-2], rest[-1]
+        sid = jax.lax.axis_index("shard")
+        off = sid * c
+        gslot = off + jnp.arange(c, dtype=jnp.int32)
+        big = jnp.iinfo(jnp.int32).max
+
+        # ---- 1. local below1/above1 candidates (as the insert planner) --
+        participant = (~field.is_zero(vals)) | (gslot == 0)
+        all_vals = jnp.concatenate([vals, new_vals], axis=1)
+        is_query = jnp.concatenate(
+            [jnp.zeros(c, jnp.uint32), jnp.ones(k, jnp.uint32)])
+        part_all = jnp.concatenate([participant, jnp.zeros(k, bool)])
+        sorted_ops = jax.lax.sort(
+            _pack_keys(all_vals) + (is_query,
+                                    jnp.arange(m_loc, dtype=jnp.int32)),
+            num_keys=9)
+        order = sorted_ops[-1]
+        part_s = jnp.take(part_all, order)
+        pos = jnp.arange(m_loc, dtype=jnp.int32)
+        prv = jax.lax.cummax(jnp.where(part_s, pos, -1))
+        prv = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv[:-1]])
+        nxt = jax.lax.cummin(jnp.where(part_s, pos, m_loc), reverse=True)
+        nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m_loc, jnp.int32)])
+        inv = jnp.zeros((m_loc,), jnp.int32).at[order].set(pos)
+        qpos = inv[c:]
+        lo_p = jnp.take(prv, qpos)
+        hi_p = jnp.take(nxt, qpos)
+        lo_found = lo_p >= 0
+        hi_found = hi_p < m_loc
+        lo_e = jnp.take(order, jnp.clip(lo_p, 0, m_loc - 1))
+        hi_e = jnp.take(order, jnp.clip(hi_p, 0, m_loc - 1))
+        lo_val = jnp.take(all_vals, lo_e, axis=1) * lo_found
+        hi_val = jnp.take(all_vals, hi_e, axis=1) * hi_found
+        lo_slot = jnp.where(lo_found, off + lo_e, 0)
+        hi_slot = jnp.where(hi_found, off + hi_e, 0)
+
+        # ---- 2. O(K) exchange -------------------------------------------
+        ag = lambda x: jax.lax.all_gather(x, "shard")
+        blo_v, blo_s, blo_f = _lex_reduce(ag(lo_val), ag(lo_slot),
+                                          ag(lo_found), take_max=True)
+        bhi_v, bhi_s, bhi_f = _lex_reduce(ag(hi_val), ag(hi_slot),
+                                          ag(hi_found), take_max=False)
+
+        # ---- 3. replicated planning over the reduced table ---------------
+        slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
+        zcol = jnp.zeros((field.LIMBS, 1), jnp.uint32)
+        ev = jnp.concatenate(
+            [zcol, blo_v * blo_f, bhi_v * bhi_f, new_vals], axis=1)
+        es = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.where(blo_f, blo_s, 0),
+             jnp.where(bhi_f, bhi_s, 0), slots]).astype(jnp.uint32)
+        enew = jnp.concatenate(
+            [jnp.zeros(1 + 2 * k, bool), jnp.ones(k, bool)])
+        epart = jnp.concatenate(
+            [jnp.ones(1, bool), blo_f, bhi_f, jnp.zeros(k, bool)])
+        eops = jax.lax.sort(
+            _pack_keys(ev) + (es, jnp.arange(e, dtype=jnp.int32)),
+            num_keys=9)
+        eorder = eops[-1]
+        ss = jnp.take(es, eorder).astype(jnp.int32)
+        snew = jnp.take(enew, eorder)
+        epart_s = jnp.take(epart, eorder)
+        eq_prev = eops[0][1:] == eops[0][:-1]
+        for r in range(1, 8):
+            eq_prev &= eops[r][1:] == eops[r][:-1]
+        accepted = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
+
+        epos = jnp.arange(e, dtype=jnp.int32)
+        nxt_a = jax.lax.cummin(jnp.where(accepted, epos, e), reverse=True)
+        nxt_a = jnp.concatenate([nxt_a[1:], jnp.full((1,), e, jnp.int32)])
+        prv_a = jax.lax.cummax(jnp.where(accepted, epos, -1))
+        prv_a = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv_a[:-1]])
+
+        einv = jnp.zeros((e,), jnp.int32).at[eorder].set(epos)
+        pos_new = einv[1 + 2 * k:]                               # [K]
+        ok = jnp.take(accepted, pos_new)
+        okm = ok[None]
+
+        # final-state (post-batch) successor/predecessor per insert
+        nxt_new = jnp.take(nxt_a, pos_new)
+        has_fin = nxt_new < e
+        nxt_c = jnp.clip(nxt_new, 0, e - 1)
+        fin_succ_val = jnp.where(
+            has_fin & ok, jnp.take(ev, jnp.take(eorder, nxt_c), axis=1), 0)
+        fin_succ_slot = jnp.where(has_fin & ok, jnp.take(ss, nxt_c), 0)
+        fin_prev_slot = jnp.take(
+            ss, jnp.clip(jnp.take(prv_a, pos_new), 0, e - 1))
+        low_tgt = jnp.where(ok, fin_prev_slot, n)
+
+        def loc(g):
+            owned = (g >= off) & (g < off + c)
+            return jnp.where(owned, g - off, c)       # c = drop
+        vals2 = vals.at[:, loc(slots)].set(jnp.where(okm, new_vals, 0),
+                                           mode="drop")
+        nvs2 = nvs.at[:, loc(low_tgt)].set(jnp.where(okm, new_vals, 0),
+                                           mode="drop")
+        nvs2 = nvs2.at[:, loc(slots)].set(fin_succ_val, mode="drop")
+        nis2 = nis.at[:, loc(low_tgt)].set(
+            indexed.index_to_limbs(jnp.where(ok, slots, 0)), mode="drop")
+        nis2 = nis2.at[:, loc(slots)].set(
+            indexed.index_to_limbs(fin_succ_slot), mode="drop")
+
+        # ---- temporal planning (ANSV over the reduced table) -------------
+        prv_e = jax.lax.cummax(jnp.where(epart_s, epos, -1))
+        prv_e = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv_e[:-1]])
+        nxt_e = jax.lax.cummin(jnp.where(epart_s, epos, e), reverse=True)
+        nxt_e = jnp.concatenate([nxt_e[1:], jnp.full((1,), e, jnp.int32)])
+        acc_new_s = snew & accepted
+        step_of_entry = jnp.concatenate(
+            [jnp.full((1 + 2 * k,), -1, jnp.int32),
+             jnp.arange(k, dtype=jnp.int32)])
+        step_s = jnp.take(step_of_entry, eorder)
+
+        spn, ids = jax.lax.sort(
+            (pos_new, jnp.arange(k, dtype=jnp.int32)), num_keys=1)
+        sigma = jnp.where(jnp.take(acc_new_s, spn),
+                          jnp.take(step_s, spn), big)
+        my_rank = jnp.zeros((k,), jnp.int32).at[ids].set(
+            jnp.arange(k, dtype=jnp.int32))
+        thr = jnp.arange(k, dtype=jnp.int32)
+        lo_r, lo_f2 = _ansv_prev(sigma, jnp.take(thr, ids))
+        hi_r_rev, hi_f_rev = _ansv_prev(sigma[::-1],
+                                        jnp.take(thr, ids)[::-1])
+        lo_pos_new = jnp.where(lo_f2, jnp.take(spn, lo_r), -1)
+        hi_r = k - 1 - hi_r_rev[::-1]
+        hi_f2 = hi_f_rev[::-1]
+        hi_pos_new = jnp.where(
+            hi_f2, jnp.take(spn, jnp.clip(hi_r, 0, k - 1)), e)
+        lo_pos_new_i = jnp.take(lo_pos_new, my_rank)
+        hi_pos_new_i = jnp.take(hi_pos_new, my_rank)
+
+        low_pos = jnp.maximum(jnp.take(prv_e, pos_new), lo_pos_new_i)
+        low_pos_c = jnp.clip(low_pos, 0, e - 1)
+        succ_pos = jnp.minimum(jnp.take(nxt_e, pos_new), hi_pos_new_i)
+        has_succ = succ_pos < e
+        succ_pos_c = jnp.clip(succ_pos, 0, e - 1)
+
+        low_slot = jnp.take(ss, low_pos_c).astype(jnp.int32)
+        low_val = jnp.take(ev, jnp.take(eorder, low_pos_c), axis=1)
+        succ_val = jnp.where(
+            has_succ, jnp.take(ev, jnp.take(eorder, succ_pos_c), axis=1), 0)
+        succ_slot = jnp.where(has_succ, jnp.take(ss, succ_pos_c),
+                              0).astype(jnp.int32)
+        succ_idx = indexed.index_to_limbs(succ_slot)
+        slots_limbs = indexed.index_to_limbs(slots)
+
+        # ---- leaf-update timeline (replicated) ---------------------------
+        u2_slot = jnp.where(ok, low_slot, slots)
+        upd_node = jnp.concatenate([slots, u2_slot])
+        upd_val = hashing.hash3_leaf(
+            jnp.concatenate([jnp.where(okm, new_vals, 0),
+                             jnp.where(okm, low_val, 0)], axis=1),
+            jnp.concatenate([jnp.where(okm, succ_val, 0),
+                             jnp.where(okm, new_vals, 0)], axis=1),
+            jnp.concatenate([jnp.where(okm, succ_idx, 0),
+                             jnp.where(okm, slots_limbs, 0)], axis=1))
+
+        # ---- pre-gathered bases for the sharded levels (ONE psum) --------
+        l_path, n_path = u2_slot, slots
+        base_parts = []
+        for lvl in range(l_loc + 1):
+            qn = jnp.concatenate(
+                [(l_path >> lvl) ^ 1, (n_path >> lvl) ^ 1])
+            wloc = c >> lvl
+            li = qn - sid * wloc
+            owned_q = (li >= 0) & (li < wloc)
+            base_parts.append(jnp.where(
+                owned_q[None],
+                jnp.take(lower[lvl], jnp.clip(li, 0, wloc - 1), axis=1), 0))
+        bases = jax.lax.psum(jnp.concatenate(base_parts, axis=1), "shard")
+        mm = 2 * k
+        base_tab = [bases[:, i * mm:(i + 1) * mm]
+                    for i in range(l_loc + 1)]
+
+        def take_base(lvl, qnode):
+            if lvl <= l_loc:
+                return base_tab[lvl]
+            return jnp.take(top[lvl - l_loc - 1], qnode, axis=1)
+
+        new_lower = [None] * (l_loc + 1)
+        new_top = [None] * (depth - l_loc)
+
+        def scatter_level(lvl, idx, v):
+            if lvl <= l_loc:
+                wloc = c >> lvl
+                li = idx - sid * wloc
+                li = jnp.where((li >= 0) & (li < wloc), li, wloc)
+                out = lower[lvl].at[:, li].set(v, mode="drop")
+                new_lower[lvl] = out
+            else:
+                out = top[lvl - l_loc - 1].at[:, idx].set(v, mode="drop")
+                new_top[lvl - l_loc - 1] = out
+            return out
+
+        root_col = top[-1] if depth > l_loc else lower[l_loc]
+        (low_proof, new_proof, low_help, new_help, old_root, new_root,
+         _) = _witness_walk(take_base, scatter_level, root_col,
+                            l_path, n_path, upd_node, upd_val, k, depth, n)
+
+        if full_depth != depth:
+            old_root = indexed._spine_fold(old_root, depth, full_depth)
+            new_root = indexed._spine_fold(new_root, depth, full_depth)
+            low_proof, low_help = indexed._extend_proof(
+                low_proof, low_help, depth, full_depth)
+            new_proof, new_help = indexed._extend_proof(
+                new_proof, new_help, depth, full_depth)
+
+        witness = (ok, hashing.dec_nodes(old_root), low_val, succ_val,
+                   succ_idx, indexed._dec_path(low_proof), low_help,
+                   hashing.dec_nodes(new_root), new_vals, succ_val,
+                   succ_idx, slots, indexed._dec_path(new_proof), new_help,
+                   field.is_zero(succ_val))
+        return ((vals2, nvs2, nis2) + tuple(new_lower) + tuple(new_top)
+                + witness)
+
+    sharded = P(None, "shard")
+    repl = P()
+    in_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
+                + (repl,) * (depth - l_loc) + (repl, repl))
+    out_specs = ((sharded,) * 3 + (sharded,) * (l_loc + 1)
+                 + (repl,) * (depth - l_loc) + (repl,) * 15)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs, check_vma=False)
+    def run(*args):
+        return shard_fn(*args)
+
+    _KEYS = ("ok", "old_root", "low_leaf_val", "low_leaf_next_val",
+             "low_leaf_next_idx", "low_leaf_proof", "low_leaf_proof_helper",
+             "new_root", "new_leaf_val", "new_leaf_next_val",
+             "new_leaf_next_idx", "new_leaf_index", "new_leaf_proof",
+             "new_leaf_proof_helper", "is_new_leaf_largest")
+
+    def step(vals, nvs, nis, levels, new_vals, count):
+        out = run(vals, nvs, nis, *levels, new_vals, count)
+        state = out[:3 + depth + 1]
+        w = dict(zip(_KEYS, out[3 + depth + 1:]))
+        return (state[0], state[1], state[2], tuple(state[3:])), w
+
+    step.run = run          # raw jitted program (collective inventory)
+    return step
+
+
+def local_insert_batch_witness(tree, new_vals, mesh: Mesh, k: int):
+    """Shard-local witness-producing batch insert on `tree` (the inner
+    dense or sparse-prefix tree of a ShardedIndexedMerkleTree).  Mutates
+    the tree state; returns the device-resident witness dict (same keys as
+    tree/batch_witness, bit-identical on accepted lanes)."""
+    d = mesh.devices.size
+    depth = getattr(tree, "active_depth", tree.tree_depth)
+    if (1 << depth) % d or (1 << depth) < 2 * d:
+        raise ValueError(f"2^{depth} slots not shardable over {d} devices")
+    key = (tuple(dev.id for dev in mesh.devices.flat),)
+    _MESHES[key] = mesh
+    step = _local_insert_batch_witness_fn(depth, k, d, key,
+                                          tree.tree_depth, tree.node_repr)
+    (tree.vals, tree.next_vals, tree.next_idxs, tree.levels), w = step(
+        tree.vals, tree.next_vals, tree.next_idxs, tree.levels,
+        jnp.asarray(new_vals), jnp.int32(tree.count))
+    tree.count += k
+    return w

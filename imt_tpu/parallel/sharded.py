@@ -201,10 +201,11 @@ class ShardedIndexedMerkleTree:
 
     def insert_batch(self, values, witness: bool = False,
                      as_numpy: bool = True):
-        from ..tree.indexed import _as_limb_batch
+        from ..tree.indexed import (InsertWitness, _as_limb_batch,
+                                    _debug_witness, check_insert_witness)
         vals, k = _as_limb_batch(values)
         before = self.active_depth
-        if self.local_plan and not witness:
+        if self.local_plan:
             from . import local_plan
             t = self._inner
             if hasattr(t, "_grow_to"):
@@ -214,9 +215,24 @@ class ShardedIndexedMerkleTree:
             if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
                 if self.active_depth != before:
                     self._place()
+                from ..utils.observability import GLOBAL_METRICS
+                if witness:
+                    w = local_plan.local_insert_batch_witness(
+                        t, jax.device_put(vals, self._repl), self._mesh, k)
+                    GLOBAL_METRICS.record_hashes(2 * k * (1 + ad))
+                    if not as_numpy:
+                        GLOBAL_METRICS.record_submitted(k)
+                        return InsertWitness(**w)
+                    okw = np.asarray(w["ok"])
+                    GLOBAL_METRICS.record_inserts(int(okw.sum()),
+                                                  k - int(okw.sum()))
+                    wit = InsertWitness(ok=okw, **{
+                        key: v for key, v in w.items() if key != "ok"})
+                    if _debug_witness:
+                        check_insert_witness(wit)
+                    return wit
                 ok = local_plan.local_insert_batch(
                     t, jax.device_put(vals, self._repl), self._mesh, k)
-                from ..utils.observability import GLOBAL_METRICS
                 GLOBAL_METRICS.record_hashes(
                     local_plan.hash_count(ad, k, d))
                 if not as_numpy:

@@ -117,6 +117,125 @@ def _merge_resolve(upd_node, upd_step, upd_val, qnode, qstep, base):
     return jnp.where(res_hit, jnp.take(upd_val, res_idx, axis=1), base)
 
 
+def _witness_walk(take_base, scatter_level, root_col, l_path, n_path,
+                  upd_node, upd_val, k: int, depth: int, n: int):
+    """The level-synchronous witness walk, parameterized over level access
+    so the sharded (local-plan) build can inject pre-gathered bases and
+    owner-masked scatters (parallel/local_plan.py).
+
+    Per level, ONE fused sort-merge over 2K updates + 2K queries resolves
+    the pre-step proof siblings (lsib/nsib at step i-1) AND the level's
+    final state (last update per node, detected in the same sorted order).
+    Same-step sibling values — the parent-hash children and the new path's
+    already-updated-tree sibling (reference src/indexed_merkle_tree.rs:734)
+    — never hit the merge: insert i updates exactly the nodes N_i (new
+    path) and L_i (low path) at this level, so
+      sib(X)@i = (other path's node == sib(X)) ? other value : sib@i-1
+    a pure vectorized select.  (The former walk sorted 3x the rows: a 2K
+    update-only sort + a 2K+6K merge per level, plus a root merge; the
+    root series is the low-row value sequence shifted by one step.)
+
+    take_base(lvl, qnode[2K]) -> [CH, 2K] pre-walk level values;
+    scatter_level(lvl, scatter_idx[4K], vals[CH, 4K]) -> new level array
+    (indices >= level width must be dropped); root_col: [CH, 1] pre-batch
+    root.  Returns (low_proof, new_proof, low_help, new_help, old_root,
+    new_root, new_levels) — proofs stacked [depth, CH, K]."""
+    steps_i = jnp.arange(k, dtype=jnp.int32)
+    mm = 2 * k                                    # updates per level
+    low_proof, low_help, new_proof, new_help = [], [], [], []
+    new_levels = []
+    ids_m = jnp.arange(mm + mm, dtype=jnp.int32)
+    for lvl in range(depth):
+        width = n >> lvl
+        # merged rows: updates (kind 0) + queries lsib/nsib@(i-1)
+        qnode = jnp.concatenate([l_path ^ 1, n_path ^ 1])
+        node_all = jnp.concatenate([upd_node, qnode])
+        kind = jnp.concatenate(
+            [jnp.zeros(mm, jnp.int32), jnp.ones(mm, jnp.int32)])
+        # key2 places a query at (n, t) AFTER updates with step <= t
+        # and keeps the update pair (N-row, L-row) in concat order, so
+        # "last update wins" = L-row at equal (node, step)
+        key2 = (2 * (jnp.concatenate(
+            [jnp.concatenate([steps_i, steps_i]),
+             steps_i - 1, steps_i - 1]) + 1) + kind)
+        kb = (2 * (k + 1) + 1).bit_length()    # bits needed by key2
+        if width.bit_length() + kb <= 31:
+            # pack (node, key2) into ONE sort key: node < 2^(depth-lvl),
+            # key2 < 2^kb — halves the comparator work (static per level)
+            keys = (node_all * jnp.int32(1 << kb) + key2, ids_m)
+            nk = 1
+        else:
+            keys = (node_all, key2, ids_m)
+            nk = 2
+        srt = jax.lax.sort(keys, num_keys=nk)
+        ns, pid = ((srt[0] >> kb).astype(jnp.int32), srt[-1]) \
+            if nk == 1 else (srt[0], srt[-1])
+        ks = jnp.take(kind, pid)
+        pos = jnp.arange(mm + mm, dtype=jnp.int32)
+        last_upd = jax.lax.cummax(jnp.where(ks == 0, pos, -1))
+        p_c = jnp.clip(last_upd, 0, mm + mm - 1)
+        hit = (last_upd >= 0) & (jnp.take(ns, p_c) == ns)
+        ans = jnp.take(pid, p_c)               # update index (kind-0 row)
+        qid = jnp.where(ks == 1, pid - mm, mm + mm)
+        res_idx = jnp.zeros((mm,), jnp.int32).at[qid].set(
+            ans, mode="drop")
+        res_hit = jnp.zeros((mm,), dtype=bool).at[qid].set(
+            hit, mode="drop")
+        base = take_base(lvl, qnode)
+        res = jnp.where(res_hit,
+                        jnp.take(upd_val, res_idx, axis=1), base)
+        lsib_prev, nsib_prev = res[:, :k], res[:, k:]
+
+        # final state of this level, from the SAME sorted order: an
+        # update row is last-at-its-node iff no update follows it in
+        # its node group (reverse cummin of update positions)
+        nxt_upd = jax.lax.cummin(
+            jnp.where(ks == 0, pos, mm + mm), reverse=True)
+        nxt_upd = jnp.concatenate(
+            [nxt_upd[1:], jnp.full((1,), mm + mm, jnp.int32)])
+        nxt_c = jnp.clip(nxt_upd, 0, mm + mm - 1)
+        is_last = (ks == 0) & ((nxt_upd == mm + mm)
+                               | (jnp.take(ns, nxt_c) != ns))
+        scatter_idx = jnp.where(is_last, ns, width)
+        new_levels.append(scatter_level(
+            lvl, scatter_idx, jnp.take(upd_val, pid, axis=1)))
+
+        # same-step sibling derivations (vN/vL = this level's update
+        # values for the new/low path of each insert)
+        vN, vL = upd_val[:, :k], upd_val[:, k:]
+        lsib_t = jnp.where((n_path == (l_path ^ 1))[None], vN, lsib_prev)
+        nsib_t = jnp.where((l_path == (n_path ^ 1))[None], vL, nsib_prev)
+
+        low_proof.append(lsib_prev)            # low path vs OLD tree
+        new_proof.append(nsib_t)               # new path vs UPDATED tree
+        low_help.append((l_path % 2 == 0).astype(jnp.int32))
+        new_help.append((n_path % 2 == 0).astype(jnp.int32))
+
+        # parent hashes: children ordered by the path node's parity
+        n_even = (n_path % 2 == 0)[None]
+        l_even = (l_path % 2 == 0)[None]
+        left = jnp.concatenate([jnp.where(n_even, vN, nsib_t),
+                                jnp.where(l_even, vL, lsib_t)], axis=1)
+        right = jnp.concatenate([jnp.where(n_even, nsib_t, vN),
+                                 jnp.where(l_even, lsib_t, vL)], axis=1)
+        upd_val = hashing.hash2_nodes(left, right)
+        n_path = n_path >> 1
+        l_path = l_path >> 1
+        upd_node = upd_node >> 1
+
+    # root series: the L-row (last-wins) update value per step; the
+    # per-step old root is the previous step's new root
+    new_root = upd_val[:, k:]
+    old_root = jnp.concatenate([root_col, new_root[:, :k - 1]], axis=1)
+    new_levels.append(scatter_level(
+        depth, jnp.zeros((mm + mm,), jnp.int32).at[0].set(0).at[1:].set(1),
+        jnp.broadcast_to(new_root[:, k - 1:k], (new_root.shape[0], mm + mm))))
+
+    return (jnp.stack(low_proof), jnp.stack(new_proof),
+            jnp.stack(low_help), jnp.stack(new_help),
+            old_root, new_root, new_levels)
+
+
 @lru_cache(maxsize=None)
 def _insert_batch_witness_fn(depth: int, k: int, full_depth: int,
                              nr: str = ""):
@@ -260,113 +379,12 @@ def _insert_batch_witness_fn(depth: int, k: int, full_depth: int,
             jnp.concatenate([u1[2], u2[2]], axis=1))              # [CH, 2K]
 
         # ---- level-synchronous walk --------------------------------------
-        # Per level, ONE fused sort-merge over 2K updates + 2K queries
-        # resolves the pre-step proof siblings (lsib/nsib at step i-1) AND
-        # the level's final state (last update per node, detected in the
-        # same sorted order).  Same-step sibling values — the parent-hash
-        # children and the new path's already-updated-tree sibling
-        # (reference :734) — never hit the merge: insert i updates exactly
-        # the nodes N_i (new path) and L_i (low path) at this level, so
-        #   sib(X)@i = (other path's node == sib(X)) ? other value : sib@i-1
-        # a pure vectorized select.  (The former walk sorted 3x the rows:
-        # a 2K update-only sort + a 2K+6K merge per level, plus a root
-        # merge; the root series is now just the low-row value sequence
-        # shifted by one step.)
-        steps_i = jnp.arange(k, dtype=jnp.int32)
-        mm = 2 * k                                    # updates per level
-        low_proof, low_help, new_proof, new_help = [], [], [], []
-        new_levels = []
-        n_path = slots                  # new path node per insert, level lvl
         l_path = jnp.where(ok, low_slot, slots)       # low path node
-        ids_m = jnp.arange(mm + mm, dtype=jnp.int32)
-        for lvl in range(depth):
-            width = n >> lvl
-            # merged rows: updates (kind 0) + queries lsib/nsib@(i-1)
-            qnode = jnp.concatenate([l_path ^ 1, n_path ^ 1])
-            node_all = jnp.concatenate([upd_node, qnode])
-            kind = jnp.concatenate(
-                [jnp.zeros(mm, jnp.int32), jnp.ones(mm, jnp.int32)])
-            # key2 places a query at (n, t) AFTER updates with step <= t
-            # and keeps the update pair (N-row, L-row) in concat order, so
-            # "last update wins" = L-row at equal (node, step)
-            key2 = (2 * (jnp.concatenate(
-                [upd_step, steps_i - 1, steps_i - 1]) + 1) + kind)
-            kb = (2 * (k + 1) + 1).bit_length()    # bits needed by key2
-            if width.bit_length() + kb <= 31:
-                # pack (node, key2) into ONE sort key: node < 2^(depth-lvl),
-                # key2 < 2^kb — halves the comparator work (static per level)
-                keys = (node_all * jnp.int32(1 << kb) + key2, ids_m)
-                nk = 1
-            else:
-                keys = (node_all, key2, ids_m)
-                nk = 2
-            srt = jax.lax.sort(keys, num_keys=nk)
-            ns, pid = ((srt[0] >> kb).astype(jnp.int32), srt[-1]) \
-                if nk == 1 else (srt[0], srt[-1])
-            ks = jnp.take(kind, pid)
-            pos = jnp.arange(mm + mm, dtype=jnp.int32)
-            last_upd = jax.lax.cummax(jnp.where(ks == 0, pos, -1))
-            p_c = jnp.clip(last_upd, 0, mm + mm - 1)
-            hit = (last_upd >= 0) & (jnp.take(ns, p_c) == ns)
-            ans = jnp.take(pid, p_c)               # update index (kind-0 row)
-            qid = jnp.where(ks == 1, pid - mm, mm + mm)
-            res_idx = jnp.zeros((mm,), jnp.int32).at[qid].set(
-                ans, mode="drop")
-            res_hit = jnp.zeros((mm,), dtype=bool).at[qid].set(
-                hit, mode="drop")
-            base = jnp.take(levels[lvl], qnode, axis=1)
-            res = jnp.where(res_hit,
-                            jnp.take(upd_val, res_idx, axis=1), base)
-            lsib_prev, nsib_prev = res[:, :k], res[:, k:]
-
-            # final state of this level, from the SAME sorted order: an
-            # update row is last-at-its-node iff no update follows it in
-            # its node group (reverse cummin of update positions)
-            nxt_upd = jax.lax.cummin(
-                jnp.where(ks == 0, pos, mm + mm), reverse=True)
-            nxt_upd = jnp.concatenate(
-                [nxt_upd[1:], jnp.full((1,), mm + mm, jnp.int32)])
-            nxt_c = jnp.clip(nxt_upd, 0, mm + mm - 1)
-            is_last = (ks == 0) & ((nxt_upd == mm + mm)
-                                   | (jnp.take(ns, nxt_c) != ns))
-            scatter_idx = jnp.where(is_last, ns, width)
-            new_levels.append(levels[lvl].at[:, scatter_idx].set(
-                jnp.take(upd_val, pid, axis=1), mode="drop"))
-
-            # same-step sibling derivations (vN/vL = this level's update
-            # values for the new/low path of each insert)
-            vN, vL = upd_val[:, :k], upd_val[:, k:]
-            lsib_t = jnp.where((n_path == (l_path ^ 1))[None], vN, lsib_prev)
-            nsib_t = jnp.where((l_path == (n_path ^ 1))[None], vL, nsib_prev)
-
-            low_proof.append(lsib_prev)            # low path vs OLD tree
-            new_proof.append(nsib_t)               # new path vs UPDATED tree
-            low_help.append((l_path % 2 == 0).astype(jnp.int32))
-            new_help.append((n_path % 2 == 0).astype(jnp.int32))
-
-            # parent hashes: children ordered by the path node's parity
-            n_even = (n_path % 2 == 0)[None]
-            l_even = (l_path % 2 == 0)[None]
-            left = jnp.concatenate([jnp.where(n_even, vN, nsib_t),
-                                    jnp.where(l_even, vL, lsib_t)], axis=1)
-            right = jnp.concatenate([jnp.where(n_even, nsib_t, vN),
-                                     jnp.where(l_even, lsib_t, vL)], axis=1)
-            upd_val = hashing.hash2_nodes(left, right)
-            n_path = n_path >> 1
-            l_path = l_path >> 1
-            upd_node = upd_node >> 1
-
-        # root series: the L-row (last-wins) update value per step; the
-        # per-step old root is the previous step's new root
-        new_root = upd_val[:, k:]
-        old_root = jnp.concatenate(
-            [levels[depth], new_root[:, :k - 1]], axis=1)
-        new_levels.append(levels[depth].at[:, 0].set(new_root[:, k - 1]))
-
-        low_proof = jnp.stack(low_proof)           # [depth, CH, K] node repr
-        new_proof = jnp.stack(new_proof)
-        low_help = jnp.stack(low_help)              # [depth, K]
-        new_help = jnp.stack(new_help)
+        (low_proof, new_proof, low_help, new_help, old_root, new_root,
+         new_levels) = _witness_walk(
+            lambda lvl, qn: jnp.take(levels[lvl], qn, axis=1),
+            lambda lvl, idx, v: levels[lvl].at[:, idx].set(v, mode="drop"),
+            levels[depth], l_path, slots, upd_node, upd_val, k, depth, n)
 
         if fd != depth:
             old_root = indexed._spine_fold(old_root, depth, fd)

@@ -89,6 +89,44 @@ for b in range(3):
     assert ok_l.tolist() == ok_r.tolist(), b
     assert st2.get_root_int() == ref2.get_root_int(), b
 
+# shard-local WITNESS-producing batch insert: full per-insert insert_leaf
+# bundles, field-exact vs the single-device witness path on accepted lanes
+stw = IndexedMerkleTree(depth)
+refw = IndexedMerkleTree(depth)
+place(stw)
+for b in range(3):
+    vals = [rng.randrange(1, field.P) for _ in range(k)]
+    if b == 1:
+        vals[2] = vals[0]                     # intra-batch duplicate
+        vals[5] = 0                           # zero (rejected)
+    arr = jax.device_put(jnp.asarray(field.ints_to_limbs(vals)), repl)
+    wl = local_plan.local_insert_batch_witness(stw, arr, mesh, k)
+    wr = refw.insert_batch(list(vals), witness=True)
+    assert np.asarray(wl["ok"]).tolist() == wr.ok.tolist(), b
+    okm = np.asarray(wl["ok"])
+    for f_ in ("old_root", "new_root", "low_leaf_val", "low_leaf_next_val",
+               "low_leaf_next_idx", "low_leaf_proof",
+               "low_leaf_proof_helper", "new_leaf_val", "new_leaf_next_val",
+               "new_leaf_next_idx", "new_leaf_index", "new_leaf_proof",
+               "new_leaf_proof_helper", "is_new_leaf_largest"):
+        a, b_ = np.asarray(wl[f_]), np.asarray(getattr(wr, f_))
+        assert (a[..., okm] == b_[..., okm]).all(), (b, f_)
+    assert stw.get_root_int() == refw.get_root_int(), b
+    for name in ("vals", "next_vals", "next_idxs"):
+        assert (np.asarray(getattr(stw, name))
+                == np.asarray(getattr(refw, name))).all(), (b, name)
+# every accepted lane satisfies the insert_leaf predicate
+from imt_tpu.tree.indexed import insert_leaf
+pred = np.asarray(insert_leaf(
+    wl["old_root"], wl["low_leaf_val"], wl["low_leaf_next_val"],
+    wl["low_leaf_next_idx"], wl["low_leaf_proof"],
+    wl["low_leaf_proof_helper"], wl["new_root"], wl["new_leaf_val"],
+    wl["new_leaf_next_val"], wl["new_leaf_next_idx"],
+    jnp.asarray(np.asarray(wl["new_leaf_index"])), wl["new_leaf_proof"],
+    wl["new_leaf_proof_helper"],
+    jnp.asarray(np.asarray(wl["is_new_leaf_largest"]))))
+assert pred[okm].all(), "insert_leaf predicate rejected local-plan witness"
+
 # shard-local non-inclusion witness: field-exact vs the single-device path,
 # including duplicate (present) queries -> ok=False
 queries = ([rng.randrange(1, field.P) for _ in range(5)]
@@ -122,6 +160,16 @@ for b in range(2):
     vals = [rng.randrange(1, field.P) for _ in range(8)]
     assert sp.insert_batch(vals).tolist() == rp24.insert_batch(vals).tolist()
     assert sp.get_root_int() == rp24.get_root_int(), b
+# container-level local witness batch on the sharded-sparse tree (full
+# tree_depth=24 bundles over the zero spine)
+wv = [rng.randrange(1, field.P) for _ in range(8)]
+wls2 = sp.insert_batch(wv, witness=True)
+wrs2 = rp24.insert_batch(wv, witness=True)
+assert wls2.ok.tolist() == wrs2.ok.tolist()
+assert (np.asarray(wls2.new_root) == np.asarray(wrs2.new_root)).all()
+assert (np.asarray(wls2.new_leaf_proof)
+        == np.asarray(wrs2.new_leaf_proof)).all()
+assert sp.get_root_int() == rp24.get_root_int()
 # container-level local non-inclusion witness on the sharded-sparse tree
 # (full tree_depth=24 proofs over the zero spine)
 qs = [rng.randrange(1, field.P) for _ in range(4)]
