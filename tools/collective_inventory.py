@@ -152,22 +152,78 @@ def main():
     lrows, _ = report("insert_batch (shard-local planner)", lstep.run,
                       (*state[:3], *state[3], new_vals, jnp.int32(0)))
 
-    # the check SCALING.md's model hinges on: the LOCAL-PLAN path must keep
-    # every collective below a full state array (the GSPMD paths are known
-    # to all-gather the state through the sort — that is exactly what the
-    # fallback exists to avoid; report both)
+    lq = local_plan._local_non_inclusion_fn(depth, k, d, key, depth,
+                                            tree.node_repr)
+    lqrows, _ = report("non_inclusion_witness (shard-local)", lq.run,
+                       (*state[:3], *state[3], new_vals))
+
+    lw = local_plan._local_insert_batch_witness_fn(depth, k, d, key, depth,
+                                                   tree.node_repr)
+    lwrows, _ = report("insert_batch witness (shard-local)", lw.run,
+                       (*state[:3], *state[3], new_vals, jnp.int32(0)))
+    lrows = lrows + lqrows + lwrows
+
+    # the check SCALING.md's model hinges on: the LOCAL-PLAN paths'
+    # collective volume must be INDEPENDENT OF N (O(K) / O(K·depth_loc) —
+    # candidates, base/proof psums proportional to the witness output, one
+    # root gather).  A fixed-size threshold can't separate O(K·depth) from
+    # O(N) at toy shapes, so compile each local op at 4x the tree size and
+    # assert the collective bytes are unchanged.  (The GSPMD defaults are
+    # known to all-gather the state through the sort — reported above.)
     for name, (rows, _) in reports.items():
         bad = [(kind, shape, nbytes) for kind, shape, nbytes in rows
                if nbytes >= state_bytes]
-        tag = "FULL-STATE collectives" if bad else "all collectives O(K)"
-        print(f"{name}: {tag}" + (f" — {bad}" if bad else ""))
-    lbad = [r for r in lrows if r[2] >= state_bytes]
-    if lbad:
-        print("\nFAIL: shard-local planner moves full-state collectives:")
-        for b in lbad:
-            print("  ", b)
+        tag = ("contains >=state-size collectives"
+               if bad else "all collectives < state size")
+        print(f"{name}: {tag}")
+
+    depth2 = depth + 2
+    tree2 = indexed.IndexedMerkleTree(depth2)
+    state2 = (
+        jax.device_put(tree2.vals, shard),
+        jax.device_put(tree2.next_vals, shard),
+        jax.device_put(tree2.next_idxs, shard),
+        tuple(jax.device_put(l, shard if l.shape[1] >= d else repl)
+              for l in tree2.levels),
+    )
+
+    def total_at(fn, fn_args):
+        hlo = jax.jit(fn).lower(*fn_args).compile().as_text()
+        return sum(nb for _, _, nb in inventory(hlo))
+
+    l2 = local_plan._local_insert_batch_fn(depth2, k, d, key,
+                                           tree.node_repr)
+    lq2 = local_plan._local_non_inclusion_fn(depth2, k, d, key, depth2,
+                                             tree.node_repr)
+    lw2 = local_plan._local_insert_batch_witness_fn(depth2, k, d, key,
+                                                    depth2, tree.node_repr)
+    fails = []
+    for name, f1, f2, a1, a2 in (
+        ("insert_batch (shard-local planner)", lstep.run, l2.run,
+         (*state[:3], *state[3], new_vals, jnp.int32(0)),
+         (*state2[:3], *state2[3], new_vals, jnp.int32(0))),
+        ("non_inclusion_witness (shard-local)", lq.run, lq2.run,
+         (*state[:3], *state[3], new_vals),
+         (*state2[:3], *state2[3], new_vals)),
+        ("insert_batch witness (shard-local)", lw.run, lw2.run,
+         (*state[:3], *state[3], new_vals, jnp.int32(0)),
+         (*state2[:3], *state2[3], new_vals, jnp.int32(0))),
+    ):
+        t1, t2 = reports[name][1], total_at(f2, a2)
+        # the base/proof psums may grow with depth_loc (output size), never
+        # with N: allow the +2 extra levels' 2K-column psum rows, nothing
+        # proportional to the 4x state
+        allowed = t1 + 2 * (2 * k) * 48 * 4 + 4 * k
+        status = "N-independent" if t2 <= allowed else "GROWS WITH N"
+        print(f"{name}: {t1:,} B at depth {depth} -> {t2:,} B at depth "
+              f"{depth2} ({status})")
+        if t2 > allowed:
+            fails.append(name)
+    if fails:
+        print("\nFAIL: local-plan collectives grow with tree size:", fails)
         sys.exit(1)
-    print("\nOK: shard-local planner moves no full [16, N] state array")
+    print("\nOK: every shard-local path's collective volume is independent "
+          "of the tree size (O(K / K*depth_loc), never O(N))")
 
 
 if __name__ == "__main__":
