@@ -417,7 +417,12 @@ def config_result(cfg: str, smoke: bool = False) -> dict:
                                    rounds=rounds)
         metric, unit = "non-membership verifies/s (depth 8)", "verifies/s"
     elif cfg == "3":
-        rate = bench_single_insert(16, 4 if smoke else 64)
+        # chunk=64: one lax.scan dispatch per 64 strictly-sequential inserts
+        # (witnesses bit-identical to per-call insert — tests/test_chained.py);
+        # the sequential metric is tunnel-RPC-bound, so dispatch depth is
+        # the only lever
+        rate = bench_single_insert(16, 8 if smoke else 256,
+                                   chunk=4 if smoke else 64)
         metric, unit = "sequential witness inserts/s (depth 16)", "inserts/s"
     elif cfg == "3w":
         rate = bench_batch_insert_sparse(16, 4096, 2 if smoke else 8,
