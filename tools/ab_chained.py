@@ -1,11 +1,12 @@
-"""A/B: per-call pipelined insert_batch vs scan-chained insert_batches.
+"""A/B: per-call pipelined insert_batch vs chained insert_batches.
 
-Round-3 artifact surprise: at the config-4 shape (depth 24 sparse -> active
-16, K=4096) the chained path measured 65K inserts/s vs round-2's 129K for
-the per-call path, while at config-5 scale chaining was a 2.3x WIN.  This
-tool times the two dispatch structures (plus b=1 chained, isolating the
-scan/truncated-carry structure from the group size) on identical state so
-the regression can be attributed.
+In-process interleaved rounds over warm programs — the only reliable
+comparator on the shared axon tunnel (absolute rates swing ~2x between
+runs hours apart; the FIRST post-compile execution of a program runs up
+to 6x slow, which is why `_median_rounds` in bench.py discards round 0).
+Round-3 steady-state findings at the config-4 shape (device-staged
+inputs, slab/low split): percall 197K, chain4-unroll 245K, chain8-unroll
+255K, chain4-scan 244K inserts/s — chain-8 is bench's dispatch shape.
 
 Usage: python tools/ab_chained.py [--depth 24 --cap 16 --k 4096 --iters 8]
 """
