@@ -84,7 +84,10 @@ def random_limbs(seed: int, k: int, bits: int = 253) -> np.ndarray:
         out[top] &= (1 << rem) - 1
     else:
         out[top] = 0
-    out[0] |= 1          # nonzero (zero is the list sentinel, rejected)
+    # nonzero (zero is the list sentinel, rejected): patch only all-zero
+    # columns so the distribution over nonzero values stays uniform
+    allz = ~out.any(axis=0)
+    out[0, allz] = 1
     return out
 
 
@@ -108,8 +111,8 @@ def int_to_mont_limbs(x: int) -> np.ndarray:
 #
 # Outside Pallas, ops materialize their constant limb tables lazily from the
 # numpy globals.  Inside a Pallas kernel, captured array constants are not
-# allowed -- the kernel builds a FieldConsts from slices of a VMEM ref and
-# passes it to every op (see poseidon_pallas.py).
+# allowed -- a kernel builds a FieldConsts from slices of a VMEM ref and
+# passes it to every op.
 # ---------------------------------------------------------------------------
 
 class FieldConsts:

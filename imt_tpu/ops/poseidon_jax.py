@@ -5,8 +5,7 @@ TPU-first design notes:
 * State layout is ``uint32[16 limbs, 3 words, B]`` — limb axis leading (VPU
   sublanes), batch trailing (VPU lanes).  Every op is elementwise over the
   trailing batch; there is no per-element control flow, so the whole
-  permutation is a single fused XLA computation (or a Pallas kernel — see
-  poseidon_pallas.py).
+  permutation is a single fused XLA computation.
 
 * All arithmetic is Montgomery-domain (values < 2p).  Inputs are converted
   to Montgomery form at absorb time (one mont_mul per word) and the output

@@ -80,7 +80,23 @@ def _lex_reduce(cand_val, cand_slot, cand_found, take_max: bool):
 
 @lru_cache(maxsize=None)
 def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
-                           nr: str = ""):
+                           nr: str = "", b: int = 1):
+    """Shard-local planner program for `b` chained batches of K inserts
+    (b=1 is the plain insert_batch step).
+
+    Chaining (b > 1): every batch runs the full plan/exchange/apply body
+    on the SHARDED lower levels only; the root gather + replicated top
+    rebuild happens ONCE after the last batch — the multi-chip twin of
+    indexed._insert_batches_fn's truncated-carry schedule.
+
+    Subtree update uses the slab/low split on LOCAL coordinates (the
+    single-device design of indexed._update_paths_batch ported per shard):
+    the K new slots are globally contiguous, so each shard covers its
+    overlap with a K-wide clamped dense window whose width halves per
+    level — writes outside the true overlap recompute unchanged parents
+    (idempotent).  Only the ≤K pointer-rewrite rows (compacted from the
+    3K+1-row entry table by a 1-key sort — each accepted new entry has at
+    most one existing-entry predecessor) ride gathered dirty paths."""
     mesh = _MESHES[mesh_key]
     n = 1 << depth
     c = n // d                       # slots per shard
@@ -88,14 +104,7 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
     m_loc = c + k
     e = 1 + 2 * k + k                # reduced entry table rows
 
-    def shard_fn(vals, nvs, nis, *rest):
-        lower = rest[:l_loc + 1]
-        top = rest[l_loc + 1:-2]
-        new_vals, count = rest[-2], rest[-1]
-        sid = jax.lax.axis_index("shard")
-        off = sid * c
-        gslot = off + jnp.arange(c, dtype=jnp.int32)
-
+    def batch_body(vals, nvs, nis, lower, new_vals, count, sid, off, gslot):
         # ---- 1. local candidate search --------------------------------
         participant = (~field.is_zero(vals)) | (gslot == 0)
         all_vals = jnp.concatenate([vals, new_vals], axis=1)   # [16, M_loc]
@@ -160,9 +169,6 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         succ_val = jnp.where(has_nxt, jnp.take(sv, nxt_c, axis=1), 0)
         succ_slot = jnp.where(has_nxt, jnp.take(ss, nxt_c), 0)
         succ_new = jnp.where(has_nxt, jnp.take(snew, nxt_c), False)
-        prv_a = jax.lax.cummax(jnp.where(acc, epos, -1))
-        prv_a = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv_a[:-1]])
-        prev_slot = jnp.take(ss, jnp.clip(prv_a, 0, e - 1))
 
         einv = jnp.zeros((e,), jnp.int32).at[eorder].set(epos)
         pos_new = einv[1 + 2 * k:]                               # [K]
@@ -172,15 +178,22 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         nrow_nv = jnp.where(okm, jnp.take(succ_val, pos_new, axis=1), 0)
         nrow_ni_slot = jnp.where(ok, jnp.take(succ_slot, pos_new), 0)
         nrow_ni = indexed.index_to_limbs(nrow_ni_slot)
-        low_slot_new = jnp.take(prev_slot, pos_new)              # dirty lows
 
         # existing candidates (sorted positions that are accepted, not new,
-        # and whose accepted successor is a NEW entry) get pointer rewrites
+        # and whose accepted successor is a NEW entry) get pointer rewrites.
+        # At most K rows are real (one existing predecessor max per accepted
+        # new entry) — compact the e-row table to K lanes with a 1-key sort
+        # so the dirty-path walk below carries K columns, not 3K+1.
         wr = acc & ~snew & succ_new
-        wr_slot = jnp.where(wr, ss, n)                 # n = drop sentinel
-        wr_nv = jnp.where(wr[None], succ_val, 0)
-        wr_ni = indexed.index_to_limbs(jnp.where(wr, succ_slot, 0))
-        wr_val = jnp.where(wr[None], sv, 0)
+        _, widx = jax.lax.sort(
+            ((~wr).astype(jnp.uint32), epos), num_keys=1)
+        widx = widx[:k]                                          # [K]
+        wr_k = jnp.take(wr, widx)
+        wr_slot = jnp.where(wr_k, jnp.take(ss, widx), n)   # n = drop
+        wr_nv = jnp.where(wr_k[None], jnp.take(succ_val, widx, axis=1), 0)
+        wr_ni = indexed.index_to_limbs(
+            jnp.where(wr_k, jnp.take(succ_slot, widx), 0))
+        wr_val = jnp.where(wr_k[None], jnp.take(sv, widx, axis=1), 0)
 
         # ---- 4a. scatter owned rows -----------------------------------
         def loc(g):
@@ -193,8 +206,8 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         nvs2 = nvs2.at[:, wl].set(wr_nv, mode="drop")
         nis2 = nis2.at[:, wl].set(wr_ni, mode="drop")
 
-        # ---- 4b. dirty leaf hashes, sharded over the mesh --------------
-        dirty_g = jnp.concatenate([slots, wr_slot])              # [K + E]
+        # ---- 4b. dirty leaf hashes (2K lanes), sharded over the mesh ----
+        dirty_g = jnp.concatenate([slots, wr_slot])              # [2K]
         dh_val = jnp.concatenate([nrow_val, wr_val], axis=1)
         dh_nv = jnp.concatenate([nrow_nv, wr_nv], axis=1)
         dh_ni = jnp.concatenate([nrow_ni, wr_ni], axis=1)
@@ -214,42 +227,83 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
             jax.lax.dynamic_slice_in_dim(dh_nv, sl, per, axis=1),
             jax.lax.dynamic_slice_in_dim(dh_ni, sl, per, axis=1))
         dirty_hash = jax.lax.all_gather(local_hash, "shard",
-                                        axis=1, tiled=True)      # [CH, K+E]
+                                        axis=1, tiled=True)      # [CH, 2K+p]
+        slab_hash = dirty_hash[:, :k]
+        wr_hash = dirty_hash[:, k:2 * k]
 
-        # ---- 4c. local tree update (dirty paths, local width switch) ----
-        # Same static switch as indexed._update_paths but on LOCAL widths:
-        # once the dirty set covers half a local level, a full local rebuild
-        # is fewer hashes AND perfectly balanced across shards (the dirty
-        # path hashes all K+E lanes on every shard — unowned lanes are
-        # dropped at the scatter, so below the switch the redundancy is the
-        # price of static shapes; above it there is none).
-        owned = (dirty_g >= off) & (dirty_g < off + c)
-        cur = jnp.where(owned, dirty_g - off, c)
-        new_lower = [lower[0].at[:, cur].set(dirty_hash, mode="drop")]
+        # ---- 4c. local tree update: slab/low split on local widths ------
+        # The K new slots are globally contiguous; each shard covers its
+        # overlap with a K-wide dense window clamped into [0, c-K] (writes
+        # outside the overlap recompute unchanged parents — idempotent).
+        # The ≤K wr rows ride gathered dirty paths (sentinel c>>l drops).
+        lvl0 = lower[0].at[:, loc(dirty_g[:2 * k])].set(
+            dirty_hash[:, :2 * k], mode="drop")
+        new_lower = [lvl0]
+        cur = loc(wr_slot)                       # local wr path, sentinel c
+        s = jnp.clip(slots[0] - off, 0, max(c - k, 0))
+        w = k
         full = False
         for l in range(l_loc):
             level = new_lower[l]
-            if full or dirty_g.shape[0] >= (c >> l) // 2:
+            width = c >> l
+            if full or 2 * k >= width // 2:
                 full = True
                 new_lower.append(
                     hashing.hash2_nodes(level[:, 0::2], level[:, 1::2]))
                 continue
-            parent = cur >> 1                          # drop c>>l -> c>>(l+1)
+            # slab parents: dense strided slice, halving window
+            wp = w // 2 + 1
+            ps = jnp.clip(jnp.minimum(s >> 1, width // 2 - wp), 0, None)
+            kids = jax.lax.dynamic_slice_in_dim(level, 2 * ps, 2 * wp,
+                                                axis=1)
+            slab_par = hashing.hash2_nodes(kids[:, 0::2], kids[:, 1::2])
+            nxt_lvl = jax.lax.dynamic_update_slice_in_dim(
+                lower[l + 1], slab_par, ps, axis=1)
+            # wr parents: gathered dirty columns (read from the already
+            # slab-updated child level; collisions recompute identically)
+            parent = cur >> 1                    # drop c>>l -> c>>(l+1)
             left = jnp.take(level, parent * 2, axis=1)
             right = jnp.take(level, parent * 2 + 1, axis=1)
             ph = hashing.hash2_nodes(left, right)
-            new_lower.append(lower[l + 1].at[:, parent].set(ph, mode="drop"))
+            new_lower.append(nxt_lvl.at[:, parent].set(ph, mode="drop"))
             cur = parent
+            s = ps
+            w = wp
+        return (vals2, nvs2, nis2, tuple(new_lower), ok)
 
-        # ---- 4d. ONE root gather + replicated top rebuild ---------------
-        roots = jax.lax.all_gather(new_lower[-1], "shard",
+    def shard_fn(vals, nvs, nis, *rest):
+        lower = rest[:l_loc + 1]
+        new_vals, count = rest[-2], rest[-1]     # [B, 16, K], scalar
+        sid = jax.lax.axis_index("shard")
+        off = sid * c
+        gslot = off + jnp.arange(c, dtype=jnp.int32)
+
+        if b <= 8:
+            oks = []
+            for i in range(b):
+                vals, nvs, nis, lower, ok = batch_body(
+                    vals, nvs, nis, lower, new_vals[i], count + i * k,
+                    sid, off, gslot)
+                oks.append(ok)
+            oks = jnp.stack(oks)
+        else:
+            def body(carry, nv):
+                vals, nvs, nis, lower, cnt = carry
+                vals, nvs, nis, lower, ok = batch_body(
+                    vals, nvs, nis, lower, nv, cnt, sid, off, gslot)
+                return (vals, nvs, nis, lower, cnt + k), ok
+            (vals, nvs, nis, lower, _), oks = jax.lax.scan(
+                body, (vals, nvs, nis, lower, count), new_vals)
+
+        # ---- ONE root gather + replicated top rebuild for the chain -----
+        roots = jax.lax.all_gather(lower[-1], "shard",
                                    axis=1, tiled=True)           # [CH, D]
         new_top = [roots]
         while new_top[-1].shape[1] > 1:
             t = new_top[-1]
             new_top.append(hashing.hash2_nodes(t[:, 0::2], t[:, 1::2]))
-        return (vals2, nvs2, nis2) + tuple(new_lower) \
-            + tuple(new_top[1:]) + (ok,)
+        return (vals, nvs, nis) + tuple(lower) \
+            + tuple(new_top[1:]) + (oks,)
 
     sharded = P(None, "shard")
     repl = P()
@@ -265,32 +319,40 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         return shard_fn(*args)
 
     def step(vals, nvs, nis, levels, new_vals, count):
+        # new_vals: [16, K] for b=1, [B, 16, K] for chains
+        if b == 1 and new_vals.ndim == 2:
+            new_vals = new_vals[None]
         out = run(vals, nvs, nis, *levels, new_vals, count)
         vals2, nvs2, nis2 = out[:3]
         levels2 = out[3:3 + depth + 1]
-        ok = out[-1]
-        return (vals2, nvs2, nis2, tuple(levels2)), ok
+        oks = out[-1]
+        if b == 1:
+            oks = oks[0]
+        return (vals2, nvs2, nis2, tuple(levels2)), oks
 
     step.run = run          # raw jitted program (collective inventory)
     return step
 
 
-def hash_count(depth: int, k: int, d: int) -> int:
-    """Fixed-length hashes one local-planned batch performs across the
-    whole mesh (metrics accounting, mirrors shard_fn's static schedule)."""
+def hash_count(depth: int, k: int, d: int, b: int = 1) -> int:
+    """Fixed-length hashes `b` chained local-planned batches perform across
+    the whole mesh (metrics accounting, mirrors batch_body's static
+    slab/low schedule; the top rebuild is paid once per chain)."""
     c = (1 << depth) // d
-    e = 1 + 3 * k
-    nd = k + e + ((-(k + e)) % d)
-    total = nd                         # sharded leaf hashes
-    full = False
+    nd = 2 * k + ((-2 * k) % d)
+    per_batch = nd                     # sharded leaf hashes (mesh-wide)
+    slab, full = k, False
     for l in range(c.bit_length() - 1):
         w = c >> l
-        if full or nd >= w // 2:
+        if full or 2 * k >= w // 2:
             full = True
-            total += (w // 2) * d
+            per_batch += (w // 2) * d
         else:
-            total += nd * d            # dirty lanes hashed on every shard
-    total += d - 1                     # replicated top rebuild
+            slab = slab // 2 + 1
+            # every shard runs the slab window + the K wr lanes
+            per_batch += (slab + k) * d
+    total = b * per_batch
+    total += d - 1                     # replicated top rebuild (per chain)
     return total
 
 
@@ -310,6 +372,25 @@ def local_insert_batch(tree, new_vals, mesh: Mesh, k: int):
         jnp.asarray(new_vals), jnp.int32(tree.count))
     tree.count += k
     return ok
+
+
+def local_insert_batches(tree, new_vals, mesh: Mesh, k: int, b: int):
+    """Chained shard-local batch inserts: `new_vals` [B, 16, K] runs B
+    consecutive planned batches in ONE jitted shard_map program (sharded
+    lower levels carried through the chain, top rebuilt once).  Mutates the
+    tree state; returns the device-resident acceptance masks bool[B, K]."""
+    d = mesh.devices.size
+    depth = getattr(tree, "active_depth", tree.tree_depth)
+    if (1 << depth) % d or (1 << depth) < 2 * d:
+        raise ValueError(f"2^{depth} slots not shardable over {d} devices")
+    key = (tuple(dev.id for dev in mesh.devices.flat),)
+    _MESHES[key] = mesh
+    step = _local_insert_batch_fn(depth, k, d, key, tree.node_repr, b)
+    (tree.vals, tree.next_vals, tree.next_idxs, tree.levels), oks = step(
+        tree.vals, tree.next_vals, tree.next_idxs, tree.levels,
+        jnp.asarray(new_vals), jnp.int32(tree.count))
+    tree.count += b * k
+    return oks
 
 
 # ---------------------------------------------------------------------------

@@ -139,17 +139,19 @@ class ShardedIndexedMerkleTree:
     def __init__(self, depth: int, mesh: Mesh | None = None,
                  sparse: bool | None = None,
                  initial_capacity_log2: int = 10,
-                 local_plan: bool = False):
+                 local_plan: bool = True):
         from ..tree.indexed import IndexedMerkleTree
         from ..tree.sparse import SparseIndexedMerkleTree
         self._mesh = mesh or make_mesh()
         if sparse is None:
             sparse = depth > 20
         self.sparse = sparse
-        # local_plan=True: plain insert_batch runs the shard-local planner
-        # (parallel/local_plan.py) — O(K) collectives instead of the GSPMD
-        # full-state all-gather the inventory measured.  Falls back to the
-        # GSPMD path when the active prefix is too small to shard.
+        # local_plan=True (the DEFAULT): insert_batch / non_inclusion_witness
+        # / insert_batches run the shard-local planner (parallel/local_plan.py)
+        # — O(K) collectives independent of tree size, instead of the GSPMD
+        # full-state all-gather the collective inventory measured as fatal at
+        # config-5 scale (SCALING.md §2).  Falls back to the GSPMD path only
+        # when the active prefix is too small to shard.
         self.local_plan = local_plan
         self._inner = (SparseIndexedMerkleTree(depth, initial_capacity_log2)
                        if sparse else IndexedMerkleTree(depth))
@@ -210,6 +212,11 @@ class ShardedIndexedMerkleTree:
             t = self._inner
             if hasattr(t, "_grow_to"):
                 t._grow_to(t.count + k + 1)
+            elif t.count + k >= t.num_slots:
+                # same capacity contract as IndexedMerkleTree.insert_batch —
+                # without it, overflow would silently drop the out-of-range
+                # new-slot scatters while still advancing count
+                raise ValueError("tree full")
             d = self._mesh.devices.size
             ad = self.active_depth
             if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
@@ -219,7 +226,9 @@ class ShardedIndexedMerkleTree:
                 if witness:
                     w = local_plan.local_insert_batch_witness(
                         t, jax.device_put(vals, self._repl), self._mesh, k)
-                    GLOBAL_METRICS.record_hashes(2 * k * (1 + ad))
+                    # mesh-wide convention (matches hash_count): the witness
+                    # walk + leaf timeline run replicated on all d shards
+                    GLOBAL_METRICS.record_hashes(d * 2 * k * (1 + ad))
                     if not as_numpy:
                         GLOBAL_METRICS.record_submitted(k)
                         return InsertWitness(**w)
@@ -258,9 +267,43 @@ class ShardedIndexedMerkleTree:
         return w
 
     def insert_batches(self, values, as_numpy: bool = True):
-        """Scan-chained batch inserts (see IndexedMerkleTree.insert_batches)."""
+        """Scan-chained batch inserts — [B, 16, K] (or B value lists) run as
+        B consecutive insert_batch steps in ONE dispatch.  With local_plan
+        (the default) the whole chain is ONE shard_map program: per batch an
+        O(K) candidate exchange + sharded slab/low subtree update, with the
+        root gather + replicated top rebuild paid once at the end (the
+        BASELINE config-5 shape).  Falls back to the inner tree's chained
+        program when the active prefix is too small to shard."""
+        from ..tree.indexed import _as_batch_stack
+        from ..utils.observability import GLOBAL_METRICS
+        arr = _as_batch_stack(values)
+        b, _, k = arr.shape
         before = self.active_depth
-        out = self._inner.insert_batches(values, as_numpy=as_numpy)
+        if self.local_plan:
+            from . import local_plan
+            t = self._inner
+            if hasattr(t, "_grow_to"):
+                t._grow_to(t.count + b * k + 1)
+            elif t.count + b * k >= t.num_slots:
+                raise ValueError("tree full")
+            d = self._mesh.devices.size
+            ad = self.active_depth
+            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+                if self.active_depth != before:
+                    self._place()
+                oks = local_plan.local_insert_batches(
+                    t, jax.device_put(arr, self._repl), self._mesh, k, b)
+                GLOBAL_METRICS.record_hashes(
+                    local_plan.hash_count(ad, k, d, b))
+                if not as_numpy:
+                    GLOBAL_METRICS.record_submitted(b * k)
+                    return oks
+                oks = np.asarray(oks)
+                GLOBAL_METRICS.record_inserts(int(oks.sum()),
+                                              b * k - int(oks.sum()))
+                return oks
+            # active prefix too small to shard: inner chained path below
+        out = self._inner.insert_batches(arr, as_numpy=as_numpy)
         if self.active_depth != before:
             self._place()
         return out
@@ -302,7 +345,7 @@ class ShardedIndexedMerkleTree:
 
     @classmethod
     def from_arrays(cls, arrays: dict, mesh: Mesh | None = None,
-                    local_plan: bool = False) -> "ShardedIndexedMerkleTree":
+                    local_plan: bool = True) -> "ShardedIndexedMerkleTree":
         """Resume a checkpoint onto a mesh: rebuild the inner tree from the
         leaf SoA (the reference's rebuild discipline,
         src/indexed_merkle_tree.rs:726-730), then place state shard-wise."""

@@ -76,6 +76,27 @@ def debug_witness_enabled() -> bool:
     return _debug_witness
 
 
+# One-time per-process nudge away from the bare-insert() footgun: each call
+# is a full host→device dispatch (~5 ms via a network-attached chip, ~200/s)
+# while the bit-identical chained insert_seq sustains ~70K/s (BASELINE
+# configs 3 vs 3w).  Process-global on purpose: the cost is per-dispatch,
+# not per-tree.
+_bare_insert_calls = 0
+
+
+def _count_bare_insert() -> None:
+    global _bare_insert_calls
+    _bare_insert_calls += 1
+    if _bare_insert_calls == 101:
+        import warnings
+        warnings.warn(
+            "over 100 sequential IndexedMerkleTree.insert() calls — each is "
+            "one device dispatch (~200/s through a network-attached chip). "
+            "insert_seq(values) produces bit-identical witnesses ~300x "
+            "faster; insert_batch/insert_batches are faster still for bulk "
+            "loads.", RuntimeWarning, stacklevel=3)
+
+
 def check_insert_witness(w: "InsertWitness") -> None:
     """Raise AssertionError if any accepted lane of `w` fails insert_leaf."""
     ok = np.asarray(w.ok)
@@ -576,8 +597,16 @@ def _insert_seq_fn(depth: int, chunk: int, full_depth: int | None = None,
     return seq
 
 
+def _chain_scan_flag() -> bool:
+    """Resolve the IMT_CHAIN_SCAN env override at CALL time so it is part of
+    `_insert_batches_fn`'s cache key (reading it at trace time inside the
+    lru-cached builder silently ignored toggles after the first build)."""
+    return _os.environ.get("IMT_CHAIN_SCAN") == "1"
+
+
 @lru_cache(maxsize=None)
-def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
+def _insert_batches_fn(depth: int, k: int, b: int, nr: str = "",
+                       scan: bool = False):
     """Scan-chained batch inserts: `b` consecutive insert_batch steps in ONE
     jitted program (one tunnel dispatch instead of b) — state-identical to
     b separate insert_batch calls.
@@ -607,7 +636,7 @@ def _insert_batches_fn(depth: int, k: int, b: int, nr: str = ""):
             return (vals2, nvs2, nis2, lower, count + k), ok
 
         carry = (vals, nvs, nis, lower, count0)
-        if b <= 8 and _os.environ.get("IMT_CHAIN_SCAN") != "1":
+        if b <= 8 and not scan:
             # unrolled: lax.scan's loop carries constrain XLA scheduling /
             # buffer aliasing around the per-batch pallas hash calls and
             # measured ~2.6x the predicted per-batch device time at the
@@ -1031,10 +1060,17 @@ class IndexedMerkleTree:
     def insert(self, value: int, as_numpy: bool = True) -> InsertWitness:
         """Sequential insert with full witness bundle (reference parity).
 
+        Prefer ``insert_seq`` for sequences: it is bit-identical (same
+        witnesses, same roots) but chains all inserts into one dispatch —
+        through a network-attached chip that is a measured ~300× throughput
+        difference (BASELINE config 3 vs 3w).  A one-time warning fires
+        after 100 bare ``insert`` calls in a process.
+
         as_numpy=False keeps the whole witness (incl. `ok`) device-resident
         so chained inserts pipeline under async dispatch — no per-insert
         host sync.  Callers then materialize when they need the values."""
         self._check_repr()
+        _count_bare_insert()
         if self.count + 1 >= self.num_slots:
             raise ValueError("tree full")
         step = _insert_step_fn(self.tree_depth, None, self.node_repr)
@@ -1153,7 +1189,8 @@ class IndexedMerkleTree:
         b, _, k = arr.shape
         if self.count + b * k >= self.num_slots:
             raise ValueError("tree full")
-        run = _insert_batches_fn(self.tree_depth, k, b, self.node_repr)
+        run = _insert_batches_fn(self.tree_depth, k, b, self.node_repr,
+                                 _chain_scan_flag())
         (self.vals, self.next_vals, self.next_idxs, self.levels), oks = run(
             self.vals, self.next_vals, self.next_idxs, self.levels,
             arr, jnp.int32(self.count))

@@ -243,7 +243,8 @@ class SparseIndexedMerkleTree:
             raise ValueError("tree full")
         self._grow_to(self.count + b * k + 1)
         run = indexed._insert_batches_fn(self.active_depth, k, b,
-                                         self.node_repr)
+                                         self.node_repr,
+                                         indexed._chain_scan_flag())
         (self.vals, self.next_vals, self.next_idxs, self.levels), oks = run(
             self.vals, self.next_vals, self.next_idxs, self.levels,
             arr, jnp.int32(self.count))

@@ -2,9 +2,10 @@
 import os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+from imt_tpu.utils.cache import host_cache_dir
+jax.config.update("jax_compilation_cache_dir", host_cache_dir(
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import random
 from imt_tpu.tree.sparse import SparseIndexedMerkleTree

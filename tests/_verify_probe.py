@@ -5,7 +5,9 @@ import sys
 sys.path.insert(0, "/root/repo")
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from imt_tpu.utils.cache import host_cache_dir
+jax.config.update("jax_compilation_cache_dir",
+                  host_cache_dir("/root/repo/.jax_cache"))
 import numpy as np
 
 from imt_tpu.ops.poseidon_ref import generate_params, hash_fixed

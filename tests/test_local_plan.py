@@ -11,8 +11,10 @@ _SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 import os
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+from imt_tpu.utils.cache import host_cache_dir
+jax.config.update("jax_compilation_cache_dir", host_cache_dir(
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                 ".jax_cache"))))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import random
 import numpy as np

@@ -14,8 +14,10 @@ _SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 import os
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+from imt_tpu.utils.cache import host_cache_dir
+jax.config.update("jax_compilation_cache_dir", host_cache_dir(
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                 ".jax_cache"))))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import random
 import numpy as np
@@ -122,9 +124,10 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "sharded.npz")
     checkpoint.save(t, path)
 
-    with np.load(path) as z:
-        arrays = {k: z[k] for k in z.files}
-    r = ShardedIndexedMerkleTree.from_arrays(arrays, mesh=mesh)
+    # symmetric file API: load() sees the `sharded` marker and restores a
+    # ShardedIndexedMerkleTree (onto the passed mesh) — no from_arrays knowledge
+    r = checkpoint.load(path, mesh=mesh)
+    assert isinstance(r, ShardedIndexedMerkleTree)
     assert r.sparse and r.count == t.count
     assert r.get_root_int() == t.get_root_int()
     r.insert_batch([5])

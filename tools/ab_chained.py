@@ -109,16 +109,12 @@ def main():
     # build each chained variant's jitted program ONCE (compiles are paid a
     # single time; rounds then interleave warm programs — tunnel-noise-safe)
     nr = fresh().node_repr
-    os.environ["IMT_CHAIN_SCAN"] = "0"
-    fn_u = {b: indexed._insert_batches_fn(args.cap, k, b, nr)
+    fn_u = {b: indexed._insert_batches_fn(args.cap, k, b, nr, False)
             for b in (4, 8)}
-    os.environ["IMT_CHAIN_SCAN"] = "1"
-    indexed._insert_batches_fn.cache_clear()
-    fn_s = {4: indexed._insert_batches_fn(args.cap, k, 4, nr)}
-    os.environ["IMT_CHAIN_SCAN"] = "0"
+    fn_s = {4: indexed._insert_batches_fn(args.cap, k, 4, nr, True)}
     table = {}
 
-    def dispatch(depth, k_, b, nr_=""):
+    def dispatch(depth, k_, b, nr_="", scan=False):
         return table[b]
     indexed._insert_batches_fn = dispatch
 

@@ -149,8 +149,18 @@ def main():
     local_plan._MESHES[key] = mesh
     lstep = local_plan._local_insert_batch_fn(depth, k, d, key,
                                               tree.node_repr)
+    nv1 = new_vals[None]                       # planner run takes [B, 16, K]
     lrows, _ = report("insert_batch (shard-local planner)", lstep.run,
-                      (*state[:3], *state[3], new_vals, jnp.int32(0)))
+                      (*state[:3], *state[3], nv1, jnp.int32(0)))
+
+    # chained shard-local insert_batches: b batches, ONE program — per-batch
+    # O(K) candidate exchange + dirty-hash gather, ONE root gather total
+    bchain = 4
+    lchain = local_plan._local_insert_batch_fn(depth, k, d, key,
+                                               tree.node_repr, bchain)
+    nvb = jnp.broadcast_to(new_vals, (bchain, *new_vals.shape))
+    lcrows, _ = report(f"insert_batches chain b={bchain} (shard-local)",
+                       lchain.run, (*state[:3], *state[3], nvb, jnp.int32(0)))
 
     lq = local_plan._local_non_inclusion_fn(depth, k, d, key, depth,
                                             tree.node_repr)
@@ -193,6 +203,8 @@ def main():
 
     l2 = local_plan._local_insert_batch_fn(depth2, k, d, key,
                                            tree.node_repr)
+    lc2 = local_plan._local_insert_batch_fn(depth2, k, d, key,
+                                            tree.node_repr, bchain)
     lq2 = local_plan._local_non_inclusion_fn(depth2, k, d, key, depth2,
                                              tree.node_repr)
     lw2 = local_plan._local_insert_batch_witness_fn(depth2, k, d, key,
@@ -200,8 +212,12 @@ def main():
     fails = []
     for name, f1, f2, a1, a2 in (
         ("insert_batch (shard-local planner)", lstep.run, l2.run,
-         (*state[:3], *state[3], new_vals, jnp.int32(0)),
-         (*state2[:3], *state2[3], new_vals, jnp.int32(0))),
+         (*state[:3], *state[3], nv1, jnp.int32(0)),
+         (*state2[:3], *state2[3], nv1, jnp.int32(0))),
+        (f"insert_batches chain b={bchain} (shard-local)", lchain.run,
+         lc2.run,
+         (*state[:3], *state[3], nvb, jnp.int32(0)),
+         (*state2[:3], *state2[3], nvb, jnp.int32(0))),
         ("non_inclusion_witness (shard-local)", lq.run, lq2.run,
          (*state[:3], *state[3], new_vals),
          (*state2[:3], *state2[3], new_vals)),
