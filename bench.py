@@ -476,6 +476,16 @@ def main() -> None:
 
     if args.artifact:
         import datetime
+        # on-chip correctness FIRST: replay the reference 6-round sequence +
+        # a depth-32 sparse batch on the real TPU vs the python oracle
+        # (tools/tpu_parity_check.py); the artifact records the result so
+        # every round's perf numbers carry a hardware-parity bit
+        log("=== tpu parity (reference replay on chip) ===")
+        import os
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from tpu_parity_check import run_parity
+        parity = run_parity()
         results = []
         for cfg in ["2", "3", "3w", "4", "5"]:
             log(f"=== config {cfg} ===")
@@ -483,6 +493,8 @@ def main() -> None:
         artifact = {
             "date": datetime.date.today().isoformat(),
             "device": "1 TPU chip (axon tunnel)",
+            "tpu_parity": parity["tpu_parity"],
+            "tpu_parity_checks": parity["checks"],
             "configs": results,
         }
         import os

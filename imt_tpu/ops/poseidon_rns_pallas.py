@@ -602,6 +602,88 @@ def _make_redc_split(lhs1, lhs2, cols, dots: str = "bf16"):
     return redc2, canon2
 
 
+def _permutation_split_spsim(words, redc2, canon2, rc_ref, mds, r_f, r_p,
+                             q_cols):
+    """TIMING-ONLY simulation of the OPTIMIZED-SPEC sparse partial rounds
+    (OptimizedPoseidonSpec structure, SURVEY §2.2) at their IDEAL cost:
+    per partial round the sparse matrix costs 1 full reduction (row 0's
+    dense combination, which must be value-reduced before the next S-box)
+    while the two column words update as w_hat*s0 + s_i with only a
+    per-channel floor-mod — 4 redc2/round instead of 6.
+
+    This ideal is NOT reachable value-exactly in the RNS representation:
+    row 0 multiplies s1/s2 by ~p-sized coefficients, so their represented
+    integers must be < ~2^268 (M1*M2 = 2^537) — i.e. fully reduced — every
+    round; deferring their reduction poisons row 0's operand bounds.  The
+    kernel here therefore produces WRONG values (mds entries stand in for
+    the w_hat/v constants, column updates skip the scale bookkeeping) but
+    executes the exact op schedule of the ideal sparse round, giving a
+    measured UPPER BOUND on any sparse-partial-layer speedup (cf. the
+    dots="none" diagnostic).  f32-safe: products < q^2 < 2^22.6, sums
+    < 2^23, re-bounded by the floor-mod each round."""
+    n = N_CH // 2
+    half = r_f // 2
+    n_rounds = r_f + r_p
+    q1, invq1 = q_cols[0][:n], q_cols[1][:n]
+    q2, invq2 = q_cols[0][n:], q_cols[1][n:]
+
+    def rc_row(r):
+        cols3 = [rc_ref[:, 128 * r + j:128 * r + j + 1] for j in range(3)]
+        return [(c[:n], c[n:]) for c in cols3]
+
+    rc0 = rc_row(0)
+    words = [canon2((w[0] + rc0[j][0], w[1] + rc0[j][1]))
+             for j, w in enumerate(words)]
+
+    def sbox(w):
+        x2 = redc2(w[0] * w[0], w[1] * w[1])
+        x4 = redc2(x2[0] * x2[0], x2[1] * x2[1])
+        return redc2(x4[0] * w[0], x4[1] * w[1])
+
+    def mds_redc(ws, rc):
+        out = []
+        for i in range(3):
+            a1 = (mds[i][0][0] * ws[0][0] + mds[i][1][0] * ws[1][0]
+                  + mds[i][2][0] * ws[2][0])
+            a2 = (mds[i][0][1] * ws[0][1] + mds[i][1][1] * ws[1][1]
+                  + mds[i][2][1] * ws[2][1])
+            if rc is not None:
+                a1 = a1 + rc[i][0]
+                a2 = a2 + rc[i][1]
+            out.append(redc2(a1, a2, digits_ready=True))
+        return tuple(out)
+
+    for r in range(1, half + 1):
+        words = mds_redc([sbox(w) for w in words], rc_row(r))
+
+    def partial_body(ri, ws):
+        r = half + 1 + ri
+        s0 = sbox(ws[0])                           # 3 redc2
+        blk = rc_ref[:, pl.ds(pl.multiple_of(128 * r, 128), 128)]
+        rc0_ = (blk[:n, 0:1], blk[n:, 0:1])
+        # row 0: dense combination + ARC -> ONE full reduction
+        a1 = (mds[0][0][0] * s0[0] + mds[0][1][0] * ws[1][0]
+              + mds[0][2][0] * ws[2][0] + rc0_[0])
+        a2 = (mds[0][0][1] * s0[1] + mds[0][1][1] * ws[1][1]
+              + mds[0][2][1] * ws[2][1] + rc0_[1])
+        w0 = redc2(a1, a2, digits_ready=True)
+        # columns: w_hat*s0 + s_i, floor-mod only (the IDEAL the RNS
+        # representation cannot reach value-exactly — see docstring)
+        w1 = (_mod(mds[1][0][0] * s0[0] + ws[1][0], q1, invq1),
+              _mod(mds[1][0][1] * s0[1] + ws[1][1], q2, invq2))
+        w2 = (_mod(mds[2][0][0] * s0[0] + ws[2][0], q1, invq1),
+              _mod(mds[2][0][1] * s0[1] + ws[2][1], q2, invq2))
+        return (w0, w1, w2)
+
+    words = jax.lax.fori_loop(0, r_p, partial_body, tuple(words))
+
+    for k in range(half):
+        r = half + 1 + r_p + k
+        words = mds_redc([sbox(w) for w in words],
+                         rc_row(r) if r < n_rounds else None)
+    return list(words)
+
+
 def _permutation_split(words, redc2, canon2, rc_ref, mds, r_f, r_p):
     """One permutation on a list of three ([24, T], [24, T]) word pairs.
     mds: [3][3] list of ([24, 1], [24, 1]) residue-column pairs (B1 rows
@@ -675,13 +757,19 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
         cols = cols_ref[:]
         lhs1, lhs2 = lhs1_ref[:], lhs2_ref[:]
         mds_arr = mds_ref[:]                  # [48, 9]
-        if layout == "split":
+        if layout in ("split", "spsim"):
             redc2, canon2 = _make_redc_split(lhs1, lhs2, cols, dots=dots)
             mds = [[(mds_arr[:n, 3 * i + j:3 * i + j + 1],
                      mds_arr[n:, 3 * i + j:3 * i + j + 1])
                     for j in range(3)] for i in range(3)]
-            run = partial(_permutation_split, redc2=redc2, canon2=canon2,
-                          rc_ref=rc_ref, mds=mds, r_f=r_f, r_p=r_p)
+            if layout == "spsim":
+                run = partial(_permutation_split_spsim, redc2=redc2,
+                              canon2=canon2, rc_ref=rc_ref, mds=mds,
+                              r_f=r_f, r_p=r_p,
+                              q_cols=(cols[:, 0:1], cols[:, 1:2]))
+            else:
+                run = partial(_permutation_split, redc2=redc2, canon2=canon2,
+                              rc_ref=rc_ref, mds=mds, r_f=r_f, r_p=r_p)
             split = lambda x: (x[:n], x[n:])
             padd = lambda w, c: (w[0] + c[0], w[1] + c[1])
         elif layout in ("v0", "v0e", "v0x"):
@@ -706,7 +794,7 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
             st_ref, out_ref = io
             # state io is 2D [3*48, T]: word j = rows 48j..48j+47 (Mosaic
             # lowers leading-index reads of 3D refs to unsupported gathers)
-            if layout == "split":
+            if layout in ("split", "spsim"):
                 words = [split(st_ref[48 * j:48 * (j + 1)]) for j in range(3)]
                 for _ in range(n_perms):
                     words = run(words)
@@ -722,7 +810,7 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
         else:
             iv0 = cols[:, 10:11]
             one = cols[:, 11:12]
-            if layout == "split":
+            if layout in ("split", "spsim"):
                 iv0w = tuple(jnp.broadcast_to(h, (n, t_tile))
                              for h in split(iv0))
                 onep = split(one)

@@ -36,6 +36,19 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh2(n_hosts: int, n_chips: int,
+               axes: tuple[str, str] = ("host", "chip")) -> Mesh:
+    """Two-axis ('host', 'chip') mesh (SURVEY §7.2 L5): the chip axis rides
+    ICI (fast, intra-host), the host axis rides DCN (slow, inter-host).
+    Hierarchical ops gather per chip axis first and exchange only per-host
+    aggregates across the host axis — see sharded_tree_root2."""
+    devs = jax.devices()
+    need = n_hosts * n_chips
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_hosts, n_chips), axes)
+
+
 def shard_batch(arr, mesh: Mesh, axis: str = "shard"):
     """Place a [16, B] limb array with B sharded over the mesh."""
     return jax.device_put(arr, NamedSharding(mesh, P(None, axis)))
@@ -91,6 +104,69 @@ def sharded_tree_root(leaves, mesh: Mesh):
 
 def sharded_root(leaves, mesh: Mesh):
     _, top = sharded_tree_root(leaves, mesh)
+    return top[:, -1:]
+
+
+@lru_cache(maxsize=None)
+def _sharded_build2_fn(local_depth: int, n_hosts: int, n_chips: int,
+                       mesh_key):
+    """Hierarchical two-axis tree build: local subtree reduce -> ONE
+    all_gather over 'chip' (ICI, C columns) -> replicated-per-host reduce to
+    the host root -> ONE all_gather over 'host' (DCN, H columns) -> tiny
+    replicated top.  DCN carries H node columns instead of the H*C a flat
+    gather would ship across hosts."""
+    mesh = _MESHES[mesh_key]
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, ("host", "chip")),),
+             out_specs=(P(None, ("host", "chip")), P(None, None)),
+             check_vma=False)
+    def build(local_leaves):
+        cur = local_leaves                       # [16, N/(H*C)] per device
+        for _ in range(local_depth):
+            cur = poseidon_jax.hash2(cur[:, 0::2], cur[:, 1::2])
+        # intra-host: gather the C chip roots over ICI, reduce to host root
+        chip_roots = jax.lax.all_gather(cur, "chip", axis=1,
+                                        tiled=True)          # [16, C]
+        hr = chip_roots
+        while hr.shape[1] > 1:
+            hr = poseidon_jax.hash2(hr[:, 0::2], hr[:, 1::2])
+        # inter-host: gather only the H host roots over DCN
+        host_roots = jax.lax.all_gather(hr, "host", axis=1,
+                                        tiled=True)          # [16, H]
+        top = [host_roots]
+        while top[-1].shape[1] > 1:
+            t = top[-1]
+            top.append(poseidon_jax.hash2(t[:, 0::2], t[:, 1::2]))
+        return cur, jnp.concatenate(top, axis=1)
+
+    return build
+
+
+def sharded_tree_root2(leaves, mesh: Mesh):
+    """Root of the Poseidon Merkle tree over a two-axis ('host','chip')
+    mesh — bit-exact with the flat-axis build and the single-device tree
+    (leaf order: host-major, chip-minor, matching make_mesh2's reshape).
+    Returns (per-device subtree roots [16, H*C], host-level top nodes
+    [16, 2H-1]); top[:, -1] is the global root."""
+    h, c = mesh.devices.shape
+    n = leaves.shape[1]
+    d = h * c
+    if n % d or (n // d) & (n // d - 1):
+        raise ValueError("leaves per device must be a power of two")
+    if h & (h - 1) or c & (c - 1):
+        raise ValueError("mesh axes must be powers of two")
+    local_depth = (n // d).bit_length() - 1
+    key = (tuple(dev.id for dev in mesh.devices.flat), mesh.devices.shape)
+    _MESHES[key] = mesh
+    shard_roots, top = _sharded_build2_fn(local_depth, h, c, key)(
+        jax.device_put(leaves, NamedSharding(mesh, P(None, ("host", "chip")))))
+    return shard_roots, top
+
+
+def sharded_root2(leaves, mesh: Mesh):
+    _, top = sharded_tree_root2(leaves, mesh)
     return top[:, -1:]
 
 

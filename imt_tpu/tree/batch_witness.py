@@ -123,86 +123,120 @@ def _witness_walk(take_base, scatter_level, root_col, l_path, n_path,
     so the sharded (local-plan) build can inject pre-gathered bases and
     owner-masked scatters (parallel/local_plan.py).
 
-    Per level, ONE fused sort-merge over 2K updates + 2K queries resolves
-    the pre-step proof siblings (lsib/nsib at step i-1) AND the level's
-    final state (last update per node, detected in the same sorted order).
+    The N-path updates ride the CONTIGUOUS new-slot slab (n_path starts as
+    ``slots = count+1 .. count+K`` — both callers guarantee this), so at
+    level l the slab step range updating node q is a closed-form interval:
+    j in [(q<<l) - s, ((q+1)<<l) - 1 - s] clipped to [0, K-1].  All N-side
+    lookups — latest slab update <= a step, last slab update per node —
+    therefore resolve with pure vector arithmetic, and the per-level
+    sort-merge carries only the K low-path (L) updates + 2K queries
+    (3K rows, down from 4K; the sort was ~30% of the 3w step).  A query's
+    answer is the later of its L-merge hit and its arithmetic slab hit;
+    ties are value-equal by construction (above the low/new LCA the two
+    rows track the same node with identical values — the same-step select
+    feeds each path the other's update — and rejected lanes write identity
+    values on both rows).
+
     Same-step sibling values — the parent-hash children and the new path's
     already-updated-tree sibling (reference src/indexed_merkle_tree.rs:734)
-    — never hit the merge: insert i updates exactly the nodes N_i (new
-    path) and L_i (low path) at this level, so
-      sib(X)@i = (other path's node == sib(X)) ? other value : sib@i-1
-    a pure vectorized select.  (The former walk sorted 3x the rows: a 2K
-    update-only sort + a 2K+6K merge per level, plus a root merge; the
-    root series is the low-row value sequence shifted by one step.)
+    — never hit the merge: insert i updates exactly the nodes N_i and L_i
+    at this level, so  sib(X)@i = (other path's node == sib(X)) ? other
+    value : sib@i-1  — a pure vectorized select.
 
     take_base(lvl, qnode[2K]) -> [CH, 2K] pre-walk level values;
-    scatter_level(lvl, scatter_idx[4K], vals[CH, 4K]) -> new level array
-    (indices >= level width must be dropped); root_col: [CH, 1] pre-batch
-    root.  Returns (low_proof, new_proof, low_help, new_help, old_root,
-    new_root, new_levels) — proofs stacked [depth, CH, K]."""
+    scatter_level(lvl, scatter_idx[2K], vals[CH, 2K]) -> new level array
+    (indices >= level width must be dropped; target indices are unique).
+    root_col: [CH, 1] pre-batch root.  Returns (low_proof, new_proof,
+    low_help, new_help, old_root, new_root, new_levels) — proofs stacked
+    [depth, CH, K]."""
     steps_i = jnp.arange(k, dtype=jnp.int32)
-    mm = 2 * k                                    # updates per level
+    mm = 2 * k
+    tot = k + mm                                  # L updates + 2K queries
     low_proof, low_help, new_proof, new_help = [], [], [], []
     new_levels = []
-    ids_m = jnp.arange(mm + mm, dtype=jnp.int32)
+    ids_t = jnp.arange(tot, dtype=jnp.int32)
+    kb = (2 * (k + 1) + 1).bit_length()           # bits needed by key2
+    s0 = n_path[0]                                # slab start (traced)
     for lvl in range(depth):
         width = n >> lvl
-        # merged rows: updates (kind 0) + queries lsib/nsib@(i-1)
+        vN, vL = upd_val[:, :k], upd_val[:, k:]
+        l_node = upd_node[k:]                     # L-row nodes this level
         qnode = jnp.concatenate([l_path ^ 1, n_path ^ 1])
-        node_all = jnp.concatenate([upd_node, qnode])
+        qstep = jnp.concatenate([steps_i - 1, steps_i - 1])
+
+        # --- N-path (slab) hits: closed-form interval arithmetic ---------
+        lo_q = (qnode << lvl) - s0                # first slab step at node
+        hi_q = jnp.minimum(lo_q + (1 << lvl) - 1, k - 1)
+        jstar = jnp.minimum(hi_q, qstep)          # latest slab step <= qstep
+        n_hit = (jstar >= jnp.maximum(lo_q, 0)) & (lo_q <= k - 1)
+        n_val = jnp.take(vN, jnp.clip(jstar, 0, k - 1), axis=1)
+
+        # --- L-row merge: K updates + 2K queries (kind 0 before 1) -------
+        node_all = jnp.concatenate([l_node, qnode])
         kind = jnp.concatenate(
-            [jnp.zeros(mm, jnp.int32), jnp.ones(mm, jnp.int32)])
-        # key2 places a query at (n, t) AFTER updates with step <= t
-        # and keeps the update pair (N-row, L-row) in concat order, so
-        # "last update wins" = L-row at equal (node, step)
-        key2 = (2 * (jnp.concatenate(
-            [jnp.concatenate([steps_i, steps_i]),
-             steps_i - 1, steps_i - 1]) + 1) + kind)
-        kb = (2 * (k + 1) + 1).bit_length()    # bits needed by key2
+            [jnp.zeros(k, jnp.int32), jnp.ones(mm, jnp.int32)])
+        key2 = 2 * (jnp.concatenate([steps_i, qstep]) + 1) + kind
         if width.bit_length() + kb <= 31:
-            # pack (node, key2) into ONE sort key: node < 2^(depth-lvl),
-            # key2 < 2^kb — halves the comparator work (static per level)
-            keys = (node_all * jnp.int32(1 << kb) + key2, ids_m)
+            # pack (node, key2) into ONE sort key — halves comparator work
+            keys = (node_all * jnp.int32(1 << kb) + key2, ids_t)
             nk = 1
         else:
-            keys = (node_all, key2, ids_m)
+            keys = (node_all, key2, ids_t)
             nk = 2
         srt = jax.lax.sort(keys, num_keys=nk)
         ns, pid = ((srt[0] >> kb).astype(jnp.int32), srt[-1]) \
             if nk == 1 else (srt[0], srt[-1])
         ks = jnp.take(kind, pid)
-        pos = jnp.arange(mm + mm, dtype=jnp.int32)
+        pos = jnp.arange(tot, dtype=jnp.int32)
         last_upd = jax.lax.cummax(jnp.where(ks == 0, pos, -1))
-        p_c = jnp.clip(last_upd, 0, mm + mm - 1)
+        p_c = jnp.clip(last_upd, 0, tot - 1)
         hit = (last_upd >= 0) & (jnp.take(ns, p_c) == ns)
-        ans = jnp.take(pid, p_c)               # update index (kind-0 row)
-        qid = jnp.where(ks == 1, pid - mm, mm + mm)
-        res_idx = jnp.zeros((mm,), jnp.int32).at[qid].set(
-            ans, mode="drop")
-        res_hit = jnp.zeros((mm,), dtype=bool).at[qid].set(
-            hit, mode="drop")
+        ans = jnp.take(pid, p_c)                  # L-row index == its step
+        qid = jnp.where(ks == 1, pid - k, tot)
+        res_idx = jnp.zeros((mm,), jnp.int32).at[qid].set(ans, mode="drop")
+        res_hit = jnp.zeros((mm,), dtype=bool).at[qid].set(hit, mode="drop")
+
+        # --- combine: later update wins (ties value-equal) ---------------
         base = take_base(lvl, qnode)
-        res = jnp.where(res_hit,
-                        jnp.take(upd_val, res_idx, axis=1), base)
+        l_val = jnp.take(vL, res_idx, axis=1)
+        use_l = res_hit & (~n_hit | (res_idx >= jstar))
+        res = jnp.where(use_l[None], l_val,
+                        jnp.where(n_hit[None], n_val, base))
         lsib_prev, nsib_prev = res[:, :k], res[:, k:]
 
-        # final state of this level, from the SAME sorted order: an
-        # update row is last-at-its-node iff no update follows it in
-        # its node group (reverse cummin of update positions)
-        nxt_upd = jax.lax.cummin(
-            jnp.where(ks == 0, pos, mm + mm), reverse=True)
+        # --- final state of this level -----------------------------------
+        # last L per node, from the same sorted order
+        nxt_upd = jax.lax.cummin(jnp.where(ks == 0, pos, tot), reverse=True)
         nxt_upd = jnp.concatenate(
-            [nxt_upd[1:], jnp.full((1,), mm + mm, jnp.int32)])
-        nxt_c = jnp.clip(nxt_upd, 0, mm + mm - 1)
-        is_last = (ks == 0) & ((nxt_upd == mm + mm)
-                               | (jnp.take(ns, nxt_c) != ns))
-        scatter_idx = jnp.where(is_last, ns, width)
-        new_levels.append(scatter_level(
-            lvl, scatter_idx, jnp.take(upd_val, pid, axis=1)))
+            [nxt_upd[1:], jnp.full((1,), tot, jnp.int32)])
+        nxt_c = jnp.clip(nxt_upd, 0, tot - 1)
+        is_lastl_s = (ks == 0) & ((nxt_upd == tot)
+                                  | (jnp.take(ns, nxt_c) != ns))
+        is_lastl = jnp.zeros((k,), dtype=bool).at[
+            jnp.where(ks == 0, pid, k)].set(is_lastl_s, mode="drop")
+        # slab's last step at the L node (arithmetic); the L row wins its
+        # node iff it is the node's last L update AND the slab never
+        # touches the node later (ties are value-equal: pick L)
+        l_lo = (l_node << lvl) - s0
+        l_hi = jnp.minimum(l_lo + (1 << lvl) - 1, k - 1)
+        l_in_slab = (jnp.maximum(l_lo, 0) <= l_hi) & (l_lo <= k - 1)
+        l_wins = is_lastl & (~l_in_slab | (steps_i >= l_hi))
+        # N winner: the node's last slab step, unless an L winner with a
+        # strictly later step claims the node (claim scatter keeps the
+        # target indices of the single scatter call unique)
+        j_hi = jnp.minimum(((n_path + 1) << lvl) - 1 - s0, k - 1)
+        is_lastn = steps_i == j_hi
+        claimed = jnp.full((width,), -1, jnp.int32).at[
+            jnp.where(l_wins, l_node, width)].set(steps_i, mode="drop")
+        last_l_here = jnp.take(claimed, jnp.clip(n_path, 0, width - 1))
+        n_wins = is_lastn & (last_l_here < steps_i)
+        scatter_idx = jnp.concatenate(
+            [jnp.where(n_wins, n_path, width),
+             jnp.where(l_wins, l_node, width)])
+        new_levels.append(scatter_level(lvl, scatter_idx, upd_val))
 
         # same-step sibling derivations (vN/vL = this level's update
         # values for the new/low path of each insert)
-        vN, vL = upd_val[:, :k], upd_val[:, k:]
         lsib_t = jnp.where((n_path == (l_path ^ 1))[None], vN, lsib_prev)
         nsib_t = jnp.where((l_path == (n_path ^ 1))[None], vL, nsib_prev)
 
@@ -228,8 +262,8 @@ def _witness_walk(take_base, scatter_level, root_col, l_path, n_path,
     new_root = upd_val[:, k:]
     old_root = jnp.concatenate([root_col, new_root[:, :k - 1]], axis=1)
     new_levels.append(scatter_level(
-        depth, jnp.zeros((mm + mm,), jnp.int32).at[0].set(0).at[1:].set(1),
-        jnp.broadcast_to(new_root[:, k - 1:k], (new_root.shape[0], mm + mm))))
+        depth, jnp.zeros((mm,), jnp.int32).at[0].set(0).at[1:].set(1),
+        jnp.broadcast_to(new_root[:, k - 1:k], (new_root.shape[0], mm))))
 
     return (jnp.stack(low_proof), jnp.stack(new_proof),
             jnp.stack(low_help), jnp.stack(new_help),

@@ -48,6 +48,13 @@ root2 = np.asarray(sharded.sharded_root(arr[:, :32], mesh2))
 assert field.limbs_to_int(root2[:, 0]) == \
     MerkleTree.build(arr[:, :32]).get_root_int()
 
+# two-axis ('host','chip') hierarchical build: intra-host chip gather +
+# inter-host gather of host roots only — bit-exact vs flat + single-device
+meshhc = sharded.make_mesh2(2, 2)
+rooth = np.asarray(sharded.sharded_root2(arr, meshhc))
+assert field.limbs_to_int(rooth[:, 0]) == \
+    MerkleTree.build(arr).get_root_int(), "two-axis root mismatch"
+
 # sharded indexed tree container: bit-exact vs single-device, state sharded
 from imt_tpu.tree.indexed import IndexedMerkleTree
 st = sharded.ShardedIndexedMerkleTree(6, mesh)

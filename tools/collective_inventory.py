@@ -241,6 +241,42 @@ def main():
     print("\nOK: every shard-local path's collective volume is independent "
           "of the tree size (O(K / K*depth_loc), never O(N))")
 
+    # --- two-axis ('host','chip') hierarchical build: per-axis bytes --------
+    # The chip-axis gather (ICI) carries the C per-chip subtree roots; the
+    # host-axis gather (DCN) carries only the H host roots.  Classify each
+    # all-gather by replica_groups: groups of size C that stay within one
+    # host row are the chip axis, groups spanning rows are the host axis.
+    if d >= 4 and d % 2 == 0:
+        h, cc = 2, d // 2
+        mesh2 = sharded.make_mesh2(h, cc)
+        key2 = (tuple(dev.id for dev in mesh2.devices.flat),
+                mesh2.devices.shape)
+        sharded._MESHES[key2] = mesh2
+        local_depth = (n // d).bit_length() - 1
+        b2 = sharded._sharded_build2_fn(local_depth, h, cc, key2)
+        leaves2 = jax.device_put(
+            jnp.zeros((field.LIMBS, n), jnp.uint32),
+            NamedSharding(mesh2, P(None, ("host", "chip"))))
+        hlo2 = b2.lower(leaves2).compile().as_text()
+        print(f"\n### two-axis hierarchical build (H={h} hosts x C={cc} "
+              f"chips, depth={depth})\n")
+        print("| collective | output shape | bytes | axis (by group size) |")
+        print("|---|---|---|---|")
+        for line in hlo2.splitlines():
+            m = re.search(
+                r"=\s*(\([^)]*\)|\S+)\s+(all-gather|all-reduce|all-to-all|"
+                r"collective-permute|reduce-scatter)\(", line)
+            if not m:
+                continue
+            g = re.search(r"replica_groups=\{\{([^}]*)\}", line)
+            gsize = len(g.group(1).split(",")) if g else 0
+            axis = ("chip (ICI)" if gsize == cc else
+                    "host (DCN)" if gsize == h else f"group={gsize}")
+            print(f"| {m.group(2)} | `{m.group(1)}` | "
+                  f"{shape_bytes(m.group(1)):,} | {axis} |")
+        print("\nDCN cost: H node columns per build (vs H*C for a flat "
+              "gather crossing hosts)")
+
 
 if __name__ == "__main__":
     main()
