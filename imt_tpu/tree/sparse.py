@@ -144,8 +144,11 @@ class SparseIndexedMerkleTree:
         """Sequential insert; witness proofs/roots are FULL tree depth.
 
         as_numpy=False keeps the witness device-resident (async-dispatch
-        pipelining across chained inserts — see IndexedMerkleTree.insert)."""
+        pipelining across chained inserts — see IndexedMerkleTree.insert).
+        Prefer insert_seq for sequences (one dispatch per chunk, ~300x the
+        per-call throughput through a network-attached chip)."""
         self._check_repr()
+        indexed._count_bare_insert()
         if self.count + 1 >= (1 << self.tree_depth):
             raise ValueError("tree full")
         self._grow_to(self.count + 2)

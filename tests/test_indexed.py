@@ -204,3 +204,28 @@ def test_tree_full():
         tree.insert(v)
     with pytest.raises(ValueError):
         tree.insert(8)
+
+
+def test_bare_insert_footgun_warning():
+    """>100 bare insert() calls fire ONE RuntimeWarning nudging to
+    insert_seq (config 3's 207/s vs 67.7K/s — README throughput note)."""
+    import warnings
+
+    from imt_tpu.tree import indexed as mod
+
+    saved = mod._bare_insert_calls
+    try:
+        mod._bare_insert_calls = 0
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            for _ in range(100):
+                mod._count_bare_insert()
+            assert not rec, "warned too early"
+            mod._count_bare_insert()          # call 101 fires
+            assert len(rec) == 1
+            assert issubclass(rec[0].category, RuntimeWarning)
+            assert "insert_seq" in str(rec[0].message)
+            mod._count_bare_insert()          # no repeat
+            assert len(rec) == 1
+    finally:
+        mod._bare_insert_calls = saved
