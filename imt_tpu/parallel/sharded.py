@@ -270,6 +270,12 @@ class ShardedIndexedMerkleTree:
     def get_leaf_ints(self, index: int):
         return self._inner.get_leaf_ints(index)
 
+    def get_proof(self, index: int):
+        return self._inner.get_proof(index)
+
+    def verify_proof(self, leaf, index, root, proof) -> bool:
+        return self._inner.verify_proof(leaf, index, root, proof)
+
     def insert(self, value: int, as_numpy: bool = True):
         before = self.active_depth
         w = self._inner.insert(value, as_numpy=as_numpy)
