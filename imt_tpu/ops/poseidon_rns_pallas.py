@@ -186,6 +186,113 @@ def _packed():
 
 
 @lru_cache(maxsize=None)
+def _packed_opt(g: int = 8):
+    """Constants for the "opt" layout: optimized-spec sparse partial rounds
+    (ops/poseidon_opt.py) with the lazy-column period schedule.
+
+    Scale/fold conventions (see _packed for the base rules):
+    * every constant that multiplies an M1-scaled operand inside a sum that
+      feeds a digits_ready reduction is stored M1-form (c*M1 mod p) with the
+      B1 half k1-folded;
+    * additive constants riding a pre-reduction sum are M1^2-form
+      (k1-folded B1);
+    * `bump` re-scales a period-start column (M1) into the M1^2 accumulator:
+      residues of M1^2 mod p (k1-folded B1) — value 1 in M1-form.
+
+    Returns (rcf_k [48, 8*128], mds2_k [48, 18], opt_k [48, blocks*128],
+    lhs1, lhs2, cols, r_f, r_p, n_periods, rem).
+    Full-round rc slots: 0 = round-0 ARC (plain M1-form, pre-canon);
+    1..3 = leading-round ARCs (ride the previous mds_redc); 4 = the FIRST
+    partial scalar c0 (rides the LAST leading mds_redc, word 0 only);
+    5..7 = trailing-round ARCs 1..3.  The first trailing round's ARC is
+    split: word 0 rides the last row0 reduction, words 1/2 ride the final
+    column refresh (pc columns of the last period block).
+
+    Period block layout (lane index within each 128-lane block, glen = g or
+    the remainder):  [0,g) m00_d · [g,2g) v1_d · [2g,3g) v2_d · [3g,4g)
+    w1_d · [4g,5g) w2_d · [5g] bump · [5g+1, 5g+1+g) rc0 column for the
+    round AFTER local round d (the last block's last rc0 = post c0) ·
+    [5g+1+g, ..) cc_{d,j} (d=1..glen-1, j<d, row-major) · last block only:
+    2 trailing pc columns (post ARC words 1/2, M1^2-form)."""
+    from .poseidon_ref import generate_params
+    from .poseidon_opt import optimize_params
+    c = default_consts()
+    _, _, iv0, one, r_f, r_p = _constants()
+    params = generate_params()
+    opt = optimize_params(params)
+    m1 = c.spec.m1
+    m1sq = pow(m1, 2, P)
+    qall = [int(q) for q in c.spec.all_q()]
+    k1i = [int(v) for v in c.spec.k1]
+    n = c.n
+    half = r_f // 2
+
+    def col(val: int, scale: int, fold: bool = True) -> np.ndarray:
+        v = (val * scale) % P
+        out = np.array([v % q for q in qall], np.float64)
+        if fold:
+            for i in range(n):
+                out[i] = (int(out[i]) * k1i[i]) % qall[i]
+        return out.astype(np.float32)
+
+    # ---- full-round rc table -------------------------------------------
+    rcf_k = np.zeros((N_CH, 8 * 128), np.float32)
+    for j in range(3):
+        rcf_k[:, j] = col(opt.pre_rounds[0][j], m1, fold=False)
+    for r in range(1, half):
+        for j in range(3):
+            rcf_k[:, 128 * r + j] = col(opt.pre_rounds[r][j], m1sq)
+    rcf_k[:, 128 * 4] = col(opt.partial_c0[0], m1sq)       # word 0 only
+    for r in range(1, half):
+        for j in range(3):
+            rcf_k[:, 128 * (4 + r) + j] = col(opt.post_rounds[r][j], m1sq)
+
+    # ---- dense MDS tables (standard + Mpre-folded last-leading) ---------
+    mds2_k = np.zeros((N_CH, 18), np.float32)
+    for i in range(3):
+        for j in range(3):
+            mds2_k[:, 3 * i + j] = col(opt.mds[i][j], m1)
+            mds2_k[:, 9 + 3 * i + j] = col(opt.mds_last_pre[i][j], m1)
+
+    # ---- period blocks ---------------------------------------------------
+    n_periods, rem = divmod(r_p, g)
+    blocks = n_periods + (1 if rem else 0)
+    opt_k = np.zeros((N_CH, blocks * 128), np.float32)
+    for b in range(blocks):
+        base = b * g
+        glen = g if b < n_periods else rem
+        off = b * 128
+        for d in range(glen):
+            m00, v1, v2, w1, w2 = opt.sparse[base + d]
+            opt_k[:, off + d] = col(m00, m1)
+            opt_k[:, off + g + d] = col(v1, m1)
+            opt_k[:, off + 2 * g + d] = col(v2, m1)
+            opt_k[:, off + 3 * g + d] = col(w1, m1)
+            opt_k[:, off + 4 * g + d] = col(w2, m1)
+        # bump: value 1 in M1-form — re-scales a period-start column (M1)
+        # into the M1^2 accumulator on multiply
+        opt_k[:, off + 5 * g] = col(1, m1)
+        for d in range(glen):
+            nxt = base + d + 1
+            rc_next = (opt.partial_c0[nxt] if nxt < r_p
+                       else opt.post_rounds[0][0])
+            opt_k[:, off + 5 * g + 1 + d] = col(rc_next, m1sq)
+        ci = off + 5 * g + 1 + g
+        for d in range(1, glen):
+            _, v1, v2, _, _ = opt.sparse[base + d]
+            for j in range(d):
+                w1j, w2j = opt.sparse[base + j][3], opt.sparse[base + j][4]
+                cc = (v1 * w1j + v2 * w2j) % P
+                opt_k[:, ci] = col(cc, m1)
+                ci += 1
+        if b == blocks - 1:                                # pc columns
+            opt_k[:, ci] = col(opt.post_rounds[0][1], m1sq)
+            opt_k[:, ci + 1] = col(opt.post_rounds[0][2], m1sq)
+    base = _packed()
+    return (rcf_k, mds2_k, opt_k) + base[2:7] + (r_f, r_p, n_periods, rem)
+
+
+@lru_cache(maxsize=None)
 def _packed_v0():
     """Constants for the v0 (pre-fusion) round structure: rc in plain
     Montgomery M1-form for every round (added at the redc TAIL, i.e. to the
@@ -602,6 +709,133 @@ def _make_redc_split(lhs1, lhs2, cols, dots: str = "bf16"):
     return redc2, canon2
 
 
+def _permutation_split_opt(words, redc2, canon2, rcf_ref, mds2_ref, opt_ref,
+                           q_cols, r_f, r_p, g, n_periods, rem):
+    """Optimized-spec permutation, split layout (VALUE-EXACT — the scheme
+    spsim upper-bounds): sparse partial rounds with the lazy-column period
+    schedule of ops/poseidon_opt.permute_opt_lazy.
+
+    Per partial round: 3 S-box reductions + ONE row-0 reduction; the two
+    column words accumulate w_i*S terms (constant x reduced operand — the
+    represented integers grow additively, bounded by (g+1)*2p*p << p*M1)
+    and are refreshed with one reduction each per g-round period.  Row 0
+    consumes the d-rounds-stale columns through precomputed combined
+    coefficients cc[d][j] (poseidon_opt docstring).  6 -> 4 + 2/g
+    reductions per partial round.
+
+    f32 bounds per channel: products < q^2 < 2^22.6; the row-0 sum mods
+    after its leading 3-product+rc chunk (the proven mds bound) and then
+    every 2 cc products (q + 2q^2 < 2^23.5); the column accumulators mod
+    once per round (q + q^2).  All inside the exact floor-mod range."""
+    n = N_CH // 2
+    half = r_f // 2
+    q1, invq1 = q_cols[0][:n], q_cols[1][:n]
+    q2, invq2 = q_cols[0][n:], q_cols[1][n:]
+
+    def rc_row(slot):
+        cols3 = [rcf_ref[:, 128 * slot + j:128 * slot + j + 1]
+                 for j in range(3)]
+        return [(c[:n], c[n:]) for c in cols3]
+
+    def sbox(w):
+        x2 = redc2(w[0] * w[0], w[1] * w[1])
+        x4 = redc2(x2[0] * x2[0], x2[1] * x2[1])
+        return redc2(x4[0] * w[0], x4[1] * w[1])
+
+    def mds_redc(ws, rc, base):
+        out = []
+        for i in range(3):
+            m = [(mds2_ref[:n, base + 3 * i + j:base + 3 * i + j + 1],
+                  mds2_ref[n:, base + 3 * i + j:base + 3 * i + j + 1])
+                 for j in range(3)]
+            a1 = (m[0][0] * ws[0][0] + m[1][0] * ws[1][0]
+                  + m[2][0] * ws[2][0])
+            a2 = (m[0][1] * ws[0][1] + m[1][1] * ws[1][1]
+                  + m[2][1] * ws[2][1])
+            if rc is not None:
+                a1 = a1 + rc[i][0]
+                a2 = a2 + rc[i][1]
+            out.append(redc2(a1, a2, digits_ready=True))
+        return out
+
+    rc0 = rc_row(0)
+    words = [canon2((w[0] + rc0[j][0], w[1] + rc0[j][1]))
+             for j, w in enumerate(words)]
+
+    # leading full rounds; the LAST uses the Mpre-folded MDS and bakes the
+    # first partial round's scalar constant (rc slot 4, word 0 only)
+    for r in range(1, half + 1):
+        words = mds_redc([sbox(w) for w in words], rc_row(r),
+                         9 if r == half else 0)
+
+    def run_period(blk, x0, x1r, x2r, glen):
+        def bc(idx):
+            c = blk[:, idx:idx + 1]
+            return (c[:n], c[n:])
+
+        bump = bc(5 * g)
+        c1 = (_mod(bump[0] * x1r[0], q1, invq1),
+              _mod(bump[1] * x1r[1], q2, invq2))
+        c2 = (_mod(bump[0] * x2r[0], q1, invq1),
+              _mod(bump[1] * x2r[1], q2, invq2))
+        svals = []
+        for d in range(glen):
+            s = sbox(x0)
+            svals.append(s)
+            w1c, w2c = bc(3 * g + d), bc(4 * g + d)
+            c1 = (_mod(c1[0] + w1c[0] * s[0], q1, invq1),
+                  _mod(c1[1] + w1c[1] * s[1], q2, invq2))
+            c2 = (_mod(c2[0] + w2c[0] * s[0], q1, invq1),
+                  _mod(c2[1] + w2c[1] * s[1], q2, invq2))
+            m00, v1, v2 = bc(d), bc(g + d), bc(2 * g + d)
+            rcn = bc(5 * g + 1 + d)
+            a1 = (m00[0] * s[0] + v1[0] * x1r[0] + v2[0] * x2r[0] + rcn[0])
+            a2 = (m00[1] * s[1] + v1[1] * x1r[1] + v2[1] * x2r[1] + rcn[1])
+            if d > 0:
+                a1, a2 = _mod(a1, q1, invq1), _mod(a2, q2, invq2)
+            ci = 5 * g + 1 + g + d * (d - 1) // 2
+            for j in range(d):
+                cc = bc(ci + j)
+                a1 = a1 + cc[0] * svals[j][0]
+                a2 = a2 + cc[1] * svals[j][1]
+                if j % 2 == 1 and j < d - 1:
+                    a1, a2 = _mod(a1, q1, invq1), _mod(a2, q2, invq2)
+            x0 = redc2(a1, a2, digits_ready=True)
+        # trailing pc columns (post-round-0 ARC words 1/2) — zero in every
+        # block except the final one, so the body stays uniform under fori
+        pc_base = 5 * g + 1 + g + glen * (glen - 1) // 2
+        pc1, pc2 = bc(pc_base), bc(pc_base + 1)
+        x1r = redc2(c1[0] + pc1[0], c1[1] + pc1[1], digits_ready=True)
+        x2r = redc2(c2[0] + pc2[0], c2[1] + pc2[1], digits_ready=True)
+        return x0, x1r, x2r
+
+    x0, x1r, x2r = words
+
+    if n_periods:
+        def body(pi, carry):
+            x0a, x0b, x1a, x1b, x2a, x2b = carry
+            blk = opt_ref[:, pl.ds(pl.multiple_of(128 * pi, 128), 128)]
+            x0_, x1_, x2_ = run_period(blk, (x0a, x0b), (x1a, x1b),
+                                       (x2a, x2b), g)
+            return (*x0_, *x1_, *x2_)
+
+        carry = jax.lax.fori_loop(
+            0, n_periods, body, (*x0, *x1r, *x2r))
+        x0, x1r, x2r = ((carry[0], carry[1]), (carry[2], carry[3]),
+                        (carry[4], carry[5]))
+    if rem:
+        blk = opt_ref[:, 128 * n_periods:128 * n_periods + 128]
+        x0, x1r, x2r = run_period(blk, x0, x1r, x2r, rem)
+
+    words = [x0, x1r, x2r]
+    # trailing full rounds (post round 0's ARC was baked into the last
+    # row0 reduction + the final refresh)
+    for kk in range(half):
+        rc = rc_row(5 + kk) if kk < half - 1 else None
+        words = mds_redc([sbox(w) for w in words], rc, 0)
+    return list(words)
+
+
 def _permutation_split_spsim(words, redc2, canon2, rc_ref, mds, r_f, r_p,
                              q_cols):
     """TIMING-ONLY simulation of the OPTIMIZED-SPEC sparse partial rounds
@@ -741,9 +975,64 @@ def _permutation_split(words, redc2, canon2, rc_ref, mds, r_f, r_p):
 # Kernels
 # ---------------------------------------------------------------------------
 
+def _split_io(mode: str, io, run, cols, t_tile: int, n_perms: int):
+    """Shared absorb/squeeze io for the split-pair layouts."""
+    n = N_CH // 2
+    split = lambda x: (x[:n], x[n:])
+    padd = lambda w, c: (w[0] + c[0], w[1] + c[1])
+    if mode == "perm":
+        st_ref, out_ref = io
+        words = [split(st_ref[48 * j:48 * (j + 1)]) for j in range(3)]
+        for _ in range(n_perms):
+            words = run(words)
+        for j in range(3):
+            out_ref[48 * j:48 * j + n] = words[j][0]
+            out_ref[48 * j + n:48 * (j + 1)] = words[j][1]
+        return
+    iv0 = cols[:, 10:11]
+    one = cols[:, 11:12]
+    iv0w = tuple(jnp.broadcast_to(h, (n, t_tile)) for h in split(iv0))
+    onep = split(one)
+    if mode == "hash2":
+        a_ref, b_ref, out_ref = io
+        words = [iv0w, split(a_ref[:]), split(b_ref[:])]
+        words = run(words)
+        words = [words[0], padd(words[1], onep), words[2]]
+        words = run(words)
+    else:
+        a_ref, b_ref, c_ref, out_ref = io
+        words = [iv0w, split(a_ref[:]), split(b_ref[:])]
+        words = run(words)
+        words = [words[0], padd(words[1], split(c_ref[:])),
+                 padd(words[2], onep)]
+        words = run(words)
+    out_ref[:n] = words[1][0]
+    out_ref[n:] = words[1][1]
+
+
 def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
                  layout: str = DEFAULT_LAYOUT):
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
+    if layout.startswith("opt"):
+        g = int(layout[3:]) if len(layout) > 3 else 8
+        (rcf_np, mds2_np, optk_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8,
+         cols_np, r_f, r_p, n_per, rem) = _packed_opt(g)
+        lhs1_np, lhs2_np = (lhs1_i8, lhs2_i8) if dots == "int8" else \
+            (lhs1_bf, lhs2_bf)
+
+        def kernel(rcf_ref, mds2_ref, opt_ref, lhs1_ref, lhs2_ref, cols_ref,
+                   *io):
+            cols = cols_ref[:]
+            redc2, canon2 = _make_redc_split(lhs1_ref[:], lhs2_ref[:], cols,
+                                             dots=dots)
+            run = partial(_permutation_split_opt, redc2=redc2, canon2=canon2,
+                          rcf_ref=rcf_ref, mds2_ref=mds2_ref[:],
+                          opt_ref=opt_ref,
+                          q_cols=(cols[:, 0:1], cols[:, 1:2]),
+                          r_f=r_f, r_p=r_p, g=g, n_periods=n_per, rem=rem)
+            _split_io(mode, io, run, cols, t_tile, n_perms)
+
+        return kernel, (rcf_np, mds2_np, optk_np, lhs1_np, lhs2_np, cols_np)
     (rc_np, mds_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8, cols_np,
      r_f, r_p) = _packed_v0() if layout.startswith("v0") else _packed()
     if layout == "v0x" and dots == "int8":
@@ -849,8 +1138,8 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
     return kernel, (rc_np, mds_np, lhs1_np, lhs2_np, cols_np)
 
 
-def _const_specs():
-    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)]
+def _const_specs(consts):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts]
 
 
 @lru_cache(maxsize=None)
@@ -869,7 +1158,7 @@ def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=_const_specs() + [spec],
+            in_specs=_const_specs(consts) + [spec],
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct(st.shape, jnp.float32),
             interpret=interpret,
@@ -903,7 +1192,7 @@ def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16",
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=_const_specs() + [io_spec] * n_in,
+            in_specs=_const_specs(consts) + [io_spec] * n_in,
             out_specs=io_spec,
             out_shape=jax.ShapeDtypeStruct((N_CH, b), jnp.float32),
             interpret=interpret,

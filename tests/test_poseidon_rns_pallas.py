@@ -32,6 +32,22 @@ def test_pallas_hash_anchor_bf16():
     assert got[0] == ANCHOR
 
 
+def test_pallas_hash_anchor_opt():
+    """The optimized-spec sparse-partial-round layout (lazy columns,
+    ops/poseidon_opt.py) reproduces the anchor and random parity in the
+    fast tier — it is the headline kernel candidate."""
+    z = field.ints_to_limbs([0])
+    got = field.limbs_to_ints(np.asarray(
+        pk.hash3(z, z, z, t_tile=128, interpret=True, layout="opt8")))
+    assert got[0] == ANCHOR
+    xs, ys, zs = _cases(4)
+    la, lb, lc = (field.ints_to_limbs(v) for v in (xs, ys, zs))
+    g3 = field.limbs_to_ints(np.asarray(
+        pk.hash3(la, lb, lc, t_tile=128, interpret=True, layout="opt8")))
+    assert g3 == [hash_fixed([a, b, c], PARAMS)
+                  for a, b, c in zip(xs, ys, zs)]
+
+
 def test_pallas_hash_parity_bf16():
     xs, ys, zs = _cases(8)
     la, lb, lc = (field.ints_to_limbs(v) for v in (xs, ys, zs))
@@ -75,7 +91,7 @@ import pytest
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("layout", ["split", "v0", "v0e", "v0x"])
+@pytest.mark.parametrize("layout", ["split", "v0", "v0e", "v0x", "opt8", "opt4"])
 def test_pallas_layout_parity(layout):
     """Every alternate layout (split = no-concat state, v0* = pre-fusion
     round structure with dot/vpu/x estimate flavors) must agree with the
