@@ -59,17 +59,22 @@ DEFAULT_DOTS = "bf16"
 # limbs identical at every hash boundary; raw RNS representatives may differ
 # between est flavors at margin-window inputs).
 #
-# Measurement status (round 3): the only A/B that used the interleaved-
-# median protocol is split-vs-cat with bf16 dots (round 2: split 7.78M vs
-# cat 7.55M at tile 2048 — a 3% delta against a +-8% same-kernel spread, so
-# "split >= cat, both within noise" is the honest reading).  The round-1
-# single-shot rankings of the v0* variants (cat 6.13 > v0 6.06 > v0e >
-# v0x > split 3.36 with int8 dots) PREDATE the protocol and are noise-
-# dominated — they are kept only as a record of which variants exist and
-# are NOT evidence for the default.  "split" is the default because it is
-# never slower in any protocol-grade measurement and is the structurally
-# smallest (no concat traffic).
-DEFAULT_LAYOUT = "split"
+# "optG" (round 4, the DEFAULT): the optimized-spec sparse partial rounds
+# (ops/poseidon_opt.py) on the split-pair state — 3 S-box reductions + ONE
+# row-0 reduction per partial round, with the two column words accumulated
+# unreduced for G rounds and refreshed by one reduction pair per period
+# (row 0 reads the stale columns through precomputed combined
+# coefficients).  Value-exact: derivation + lazy schedule proven equal to
+# the standard permutation (tests/test_poseidon_opt.py), kernel bit-exact
+# vs the oracle and every other layout.  "spsim" is the timing-only ideal
+# (columns never reduced — unsound) that upper-bounds this family.
+#
+# Measurement status (round 4, interleaved-median protocol, tile 2048,
+# batch 65536): split 7.73M / opt8 9.25M / opt4 9.30M / spsim(ideal) 9.72M
+# perms/s.  Round-3 status for the older variants: split >= cat (3% within
+# a +-8% spread); the v0* single-shot rankings predate the protocol and
+# are records only.
+DEFAULT_LAYOUT = "opt4"
 
 
 def _ext_lhs_i8(a: np.ndarray, invq_in: np.ndarray) -> np.ndarray:
