@@ -39,10 +39,30 @@ def census(tile: int, dots: str, layout: str = "cat"):
 
     from imt_tpu.ops import poseidon_rns_pallas as pk
 
+    n = pk.N_CH // 2
+    if layout.startswith("opt"):
+        g = int(layout[3:]) if len(layout) > 3 else 8
+        (rcf_np, mds2_np, optk_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8,
+         cols_np, r_f, r_p, n_per, rem) = pk._packed_opt(g)
+        lhs1, lhs2 = (lhs1_i8, lhs2_i8) if dots == "int8" else \
+            (lhs1_bf, lhs2_bf)
+
+        def body(rcf, mds2, optk, lhs1, lhs2, cols, *words):
+            redc2, canon2 = pk._make_redc_split(lhs1, lhs2, cols, dots=dots)
+            pairs = [(w[:n], w[n:]) for w in words]
+            out = pk._permutation_split_opt(
+                pairs, redc2, canon2, rcf, mds2, optk,
+                (cols[:, 0:1], cols[:, 1:2]), r_f, r_p, g, n_per, rem)
+            return [jnp.concatenate(w) for w in out]
+
+        args = (jnp.asarray(rcf_np), jnp.asarray(mds2_np),
+                jnp.asarray(optk_np), jnp.asarray(lhs1), jnp.asarray(lhs2),
+                jnp.asarray(cols_np))
+        loop_iters = n_per           # fori runs over PERIODS, not rounds
+        return _census_body(pk, body, args, tile, loop_iters, r_p)
     (rc_np, mds_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8, cols_np,
      r_f, r_p) = pk._packed()
     lhs1, lhs2 = (lhs1_i8, lhs2_i8) if dots == "int8" else (lhs1_bf, lhs2_bf)
-    n = pk.N_CH // 2
 
     def body(rc, mds_arr, lhs1, lhs2, cols, *words):
         if layout == "split":
@@ -61,6 +81,15 @@ def census(tile: int, dots: str, layout: str = "cat"):
         return pk._permutation(list(words), redc, canon, rc, mds,
                                r_f, r_p, tile)
 
+    args = (jnp.asarray(rc_np), jnp.asarray(mds_np), jnp.asarray(lhs1),
+            jnp.asarray(lhs2), jnp.asarray(cols_np))
+    return _census_body(pk, body, args, tile, r_p, r_p)
+
+
+def _census_body(pk, body, args, tile, loop_iters, r_p):
+    import jax
+    import jax.numpy as jnp
+    from collections import defaultdict
     words = [jnp.zeros((pk.N_CH, tile), jnp.float32) for _ in range(3)]
     # the kernel indexes its rc REF with pl.ds(traced offset); for a pure
     # array trace the offset is irrelevant to the op census — shim to static
@@ -68,9 +97,7 @@ def census(tile: int, dots: str, layout: str = "cat"):
     pk.pl.ds = lambda s, n: slice(0, n)
     pk.pl.multiple_of = lambda x, n: 0
     try:
-        jaxpr = jax.make_jaxpr(body)(
-            jnp.asarray(rc_np), jnp.asarray(mds_np), jnp.asarray(lhs1),
-            jnp.asarray(lhs2), jnp.asarray(cols_np), *words)
+        jaxpr = jax.make_jaxpr(body)(*args, *words)
     finally:
         pk.pl.ds, pk.pl.multiple_of = ds0, mo0
 
@@ -88,7 +115,7 @@ def census(tile: int, dots: str, layout: str = "cat"):
                 continue
             if prim in ("while", "scan", "fori_loop"):
                 # fori_loop lowers to while; body runs r_p times
-                n_iter = r_p if prim in ("while",) else \
+                n_iter = loop_iters if prim in ("while",) else \
                     eqn.params.get("length", 1)
                 for key in ("body_jaxpr", "jaxpr", "cond_jaxpr"):
                     sub = eqn.params.get(key)
@@ -124,13 +151,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--dots", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--layout", default="cat")
     args = ap.parse_args()
 
-    vpu, mxu = census(args.tile, args.dots)
+    vpu, mxu = census(args.tile, args.dots, args.layout)
     lanes = args.tile
 
     tot_vpu = sum(vpu.values())
-    print(f"kernel census @ tile={args.tile}, dots={args.dots}")
+    print(f"kernel census @ tile={args.tile}, dots={args.dots}, "
+          f"layout={args.layout}")
     print(f"\nVPU elementwise (per permutation-batch of {lanes} lanes):")
     for k, v in sorted(vpu.items(), key=lambda kv: -kv[1]):
         print(f"  {k:12s} {v:>12,}  ({v / lanes:8.1f}/lane)")
