@@ -341,7 +341,27 @@ class ShardedIndexedMerkleTree:
         return out
 
     def insert_seq(self, values, as_numpy: bool = True):
-        """Scan-chained sequential inserts (see IndexedMerkleTree.insert_seq)."""
+        """Strictly-sequential inserts with full witness bundles.
+
+        With local_plan (the default) this routes to the shard-local
+        WITNESS batch: its per-insert bundles are bit-identical to
+        sequential insertion by construction (temporal ANSV planning —
+        tree/batch_witness.py; asserted in tests/test_chained.py and
+        tests/test_local_plan.py), so sequential semantics cost one O(K)
+        planned step instead of a GSPMD scan over the full state."""
+        from ..tree.indexed import _as_limb_batch
+        if self.local_plan:
+            vals, k = _as_limb_batch(values)
+            d = self._mesh.devices.size
+            t = self._inner
+            if hasattr(t, "_grow_to"):
+                t._grow_to(t.count + k + 1)
+            elif t.count + k >= t.num_slots:
+                raise ValueError("tree full")
+            ad = self.active_depth
+            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+                return self.insert_batch(vals, witness=True,
+                                         as_numpy=as_numpy)
         before = self.active_depth
         w = self._inner.insert_seq(values, as_numpy=as_numpy)
         if self.active_depth != before:

@@ -143,12 +143,31 @@ pred = np.asarray(verify_non_inclusion(
     jnp.asarray(np.asarray(wl["is_new_leaf_largest"]))))
 assert (pred[np.asarray(wl["ok"])]).all()
 
-# the flagged container API: ShardedIndexedMerkleTree(local_plan=True)
+# chained shard-local batches: ONE shard_map program for B batches must be
+# state-identical to B separate planned batches (cross-batch duplicate
+# included) and to the single-device chained program
+stc, refc = IndexedMerkleTree(depth), IndexedMerkleTree(depth)
+place(stc)
+cbatches = [[rng.randrange(1, field.P) for _ in range(4)] for _ in range(3)]
+cbatches[1][2] = cbatches[0][1]                 # cross-batch duplicate
+arrs = np.stack([field.ints_to_limbs(v) for v in cbatches])
+oks_c = np.asarray(local_plan.local_insert_batches(
+    stc, jax.device_put(jnp.asarray(arrs), repl), mesh, 4, 3))
+oks_r = np.stack([np.asarray(refc.insert_batch(list(v))) for v in cbatches])
+assert oks_c.tolist() == oks_r.tolist()
+assert stc.get_root_int() == refc.get_root_int(), "chained root mismatch"
+for name in ("vals", "next_vals", "next_idxs"):
+    assert (np.asarray(getattr(stc, name))
+            == np.asarray(getattr(refc, name))).all(), name
+
+# the container API: local_plan=True is the DEFAULT; the GSPMD path
+# (local_plan=False) is the explicit comparator
 from imt_tpu.parallel.sharded import ShardedIndexedMerkleTree
 sp = ShardedIndexedMerkleTree(24, mesh=mesh, sparse=True,
-                              initial_capacity_log2=4, local_plan=True)
+                              initial_capacity_log2=4)
+assert sp.local_plan, "local_plan must default on"
 rp24 = ShardedIndexedMerkleTree(24, mesh=mesh, sparse=True,
-                                initial_capacity_log2=4)
+                                initial_capacity_log2=4, local_plan=False)
 for b in range(2):
     vals = [rng.randrange(1, field.P) for _ in range(8)]
     assert sp.insert_batch(vals).tolist() == rp24.insert_batch(vals).tolist()
@@ -172,4 +191,19 @@ assert wls.ok.tolist() == wrs.ok.tolist()
 assert (np.asarray(wls.low_leaf_proof)[..., wls.ok]
         == np.asarray(wrs.low_leaf_proof)[..., wls.ok]).all()
 assert (np.asarray(wls.root) == np.asarray(wrs.root)).all()
+# container-level chained insert_batches (local-plan chain vs GSPMD chain)
+cb = [[rng.randrange(1, field.P) for _ in range(4)] for _ in range(2)]
+assert sp.insert_batches(cb).tolist() == rp24.insert_batches(cb).tolist()
+assert sp.get_root_int() == rp24.get_root_int()
+# insert_seq routes to the shard-local witness batch (bit-identical to
+# sequential insertion) — compare with the GSPMD container's true
+# sequential scan
+sv = [rng.randrange(1, field.P) for _ in range(3)]
+wseq_l = sp.insert_seq(sv)
+wseq_r = rp24.insert_seq(sv)
+assert wseq_l.ok.tolist() == wseq_r.ok.tolist()
+assert (np.asarray(wseq_l.new_root) == np.asarray(wseq_r.new_root)).all()
+assert (np.asarray(wseq_l.new_leaf_proof)
+        == np.asarray(wseq_r.new_leaf_proof)).all()
+assert sp.get_root_int() == rp24.get_root_int()
 print("LOCAL-PLAN-OK")
