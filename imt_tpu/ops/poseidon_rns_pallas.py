@@ -76,6 +76,32 @@ DEFAULT_DOTS = "bf16"
 # are records only.
 DEFAULT_LAYOUT = "opt4"
 
+# process-wide layout override (EngineConfig(pallas_layout=...) /
+# set_layout): resolved at CALL time by the public hash/permute wrappers,
+# so it is not frozen into their signature defaults.  Layouts are value-
+# interchangeable (canonical limbs identical; raw quasi-canonical residues
+# may differ, which is why comparisons happen at the limb boundary).
+_active_layout = DEFAULT_LAYOUT
+
+_LAYOUTS = ("cat", "split", "spsim", "v0", "v0e", "v0x")
+
+
+def set_layout(name: str | None) -> None:
+    """Select the kernel layout ("opt4"/"opt8"/"split"/...) or None to
+    restore the default.  "spsim" is refused: it is a timing-only
+    diagnostic with numerically wrong outputs."""
+    global _active_layout
+    name = name or DEFAULT_LAYOUT
+    if name == "spsim":
+        raise ValueError("spsim is a timing-only diagnostic layout")
+    if not (name in _LAYOUTS or name.startswith("opt")):
+        raise ValueError(f"unknown kernel layout: {name!r}")
+    _active_layout = name
+
+
+def active_layout() -> str:
+    return _active_layout
+
 
 def _ext_lhs_i8(a: np.ndarray, invq_in: np.ndarray) -> np.ndarray:
     """Base-extension lhs [3n_out + 3, 2n_in] int8: 7-bit digit split blocks
@@ -1016,7 +1042,7 @@ def _split_io(mode: str, io, run, cols, t_tile: int, n_perms: int):
 
 
 def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
-                 layout: str = DEFAULT_LAYOUT):
+                 layout: str | None = None):
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
     if layout.startswith("opt"):
         g = int(layout[3:]) if len(layout) > 3 else 8
@@ -1149,7 +1175,7 @@ def _const_specs(consts):
 
 @lru_cache(maxsize=None)
 def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
-                dots: str = "bf16", layout: str = DEFAULT_LAYOUT):
+                dots: str = "bf16", layout: str | None = None):
     kernel, consts = _make_kernel(n_perms, t_tile, "perm", dots=dots,
                                   layout=layout)
 
@@ -1176,15 +1202,16 @@ def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
 
 def permute_n(st, n_perms: int = 1, t_tile: int = DEFAULT_TILE,
               interpret: bool = False, dots: str = DEFAULT_DOTS,
-              layout: str = DEFAULT_LAYOUT):
+              layout: str | None = None):
     """n_perms chained permutations on f32[3*48, B] (B % t_tile == 0;
     word j occupies rows 48j..48j+47)."""
-    return _permute_fn(n_perms, t_tile, interpret, dots, layout)(st)
+    return _permute_fn(n_perms, t_tile, interpret, dots,
+                       layout or _active_layout)(st)
 
 
 @lru_cache(maxsize=None)
 def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16",
-             layout: str = DEFAULT_LAYOUT):
+             layout: str | None = None):
     kernel, consts = _make_kernel(1, t_tile, mode, dots=dots, layout=layout)
     n_in = 2 if mode == "hash2" else 3
 
@@ -1218,39 +1245,43 @@ def _pad(x, t_tile):
 
 
 def hash2(a, b, t_tile: int = DEFAULT_TILE, interpret: bool = False,
-          dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
+          dots: str = DEFAULT_DOTS, layout: str | None = None):
     """Canonical limbs uint32[16, B] x2 -> uint32[16, B] (Merkle node)."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
-    out = _hash_fn("hash2", t_tile, interpret, dots, layout)(ra, rb)
+    out = _hash_fn("hash2", t_tile, interpret, dots,
+                   layout or _active_layout)(ra, rb)
     return field_rns.to_limbs(out[:, :nb])
 
 
 def hash2_nodes(ra, rb, t_tile: int = DEFAULT_TILE, interpret: bool = False,
-                dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
+                dots: str = DEFAULT_DOTS, layout: str | None = None):
     """Residue nodes f32[48, B] x2 -> f32[48, B] — the Merkle-level fast
     path: same fused kernel as hash2 with NO limb conversions."""
     ra, nb = _pad(ra, t_tile)
     rb, _ = _pad(rb, t_tile)
-    out = _hash_fn("hash2", t_tile, interpret, dots, layout)(ra, rb)
+    out = _hash_fn("hash2", t_tile, interpret, dots,
+                   layout or _active_layout)(ra, rb)
     return out[:, :nb]
 
 
 def hash3_leaf(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False,
-               dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
+               dots: str = DEFAULT_DOTS, layout: str | None = None):
     """Canonical limbs uint32[16, B] x3 -> residue nodes f32[48, B]."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
     rc, _ = _pad(field_rns.from_limbs(c), t_tile)
-    out = _hash_fn("hash3", t_tile, interpret, dots, layout)(ra, rb, rc)
+    out = _hash_fn("hash3", t_tile, interpret, dots,
+                   layout or _active_layout)(ra, rb, rc)
     return out[:, :nb]
 
 
 def hash3(a, b, c, t_tile: int = DEFAULT_TILE, interpret: bool = False,
-          dots: str = DEFAULT_DOTS, layout: str = DEFAULT_LAYOUT):
+          dots: str = DEFAULT_DOTS, layout: str | None = None):
     """Canonical limbs uint32[16, B] x3 -> uint32[16, B] (indexed leaf)."""
     ra, nb = _pad(field_rns.from_limbs(a), t_tile)
     rb, _ = _pad(field_rns.from_limbs(b), t_tile)
     rc, _ = _pad(field_rns.from_limbs(c), t_tile)
-    out = _hash_fn("hash3", t_tile, interpret, dots, layout)(ra, rb, rc)
+    out = _hash_fn("hash3", t_tile, interpret, dots,
+                   layout or _active_layout)(ra, rb, rc)
     return field_rns.to_limbs(out[:, :nb])

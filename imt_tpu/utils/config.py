@@ -28,6 +28,10 @@ class EngineConfig:
     # TPU), "pallas" (fused Mosaic kernel), "cios" (uint32 16-bit-limb CIOS
     # — CPU/test default); see ops/hashing.py (default: auto by platform)
     hash_engine: str = "auto"
+    # pallas kernel layout: "auto" = the measured default (opt4 — the
+    # optimized-spec sparse partial rounds); "split" is the conservative
+    # round-3 structure (kill switch), "optG" selects a refresh period
+    pallas_layout: str = "auto"
     batch_size: int = 4096
     # sparse-prefix storage: None = auto (depth > 20), matching the
     # ShardedIndexedMerkleTree default
@@ -53,6 +57,9 @@ class EngineConfig:
         from ..ops import hashing
         hashing.set_backend(
             None if self.hash_engine == "auto" else self.hash_engine)
+        from ..ops import poseidon_rns_pallas as pk
+        pk.set_layout(
+            None if self.pallas_layout == "auto" else self.pallas_layout)
         from ..tree import indexed
         indexed.set_debug_witness(self.debug_witness)
         from .observability import log_event

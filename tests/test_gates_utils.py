@@ -143,3 +143,25 @@ def test_trace_scope(tmp_path):
         jnp.arange(8.0).sum().block_until_ready()
     # a profile capture must have been written
     assert any(tmp_path.rglob("*")), "profiler wrote nothing"
+
+
+def test_config_pallas_layout_knob():
+    """EngineConfig(pallas_layout=...) installs the kernel layout; spsim
+    (timing-only diagnostic) and unknown names are refused."""
+    import pytest
+
+    from imt_tpu.ops import poseidon_rns_pallas as pk
+    from imt_tpu.utils.config import EngineConfig
+
+    try:
+        EngineConfig(pallas_layout="split").apply()
+        assert pk.active_layout() == "split"
+        EngineConfig(pallas_layout="opt8").apply()
+        assert pk.active_layout() == "opt8"
+        with pytest.raises(ValueError):
+            pk.set_layout("spsim")
+        with pytest.raises(ValueError):
+            EngineConfig(pallas_layout="bogus").apply()
+    finally:
+        pk.set_layout(None)
+    assert pk.active_layout() == pk.DEFAULT_LAYOUT
