@@ -94,13 +94,28 @@ def set_layout(name: str | None) -> None:
     name = name or DEFAULT_LAYOUT
     if name == "spsim":
         raise ValueError("spsim is a timing-only diagnostic layout")
-    if not (name in _LAYOUTS or name.startswith("opt")):
+    if name.startswith("opt"):
+        _opt_g(name)                  # validates the suffix and bounds g
+    elif name not in _LAYOUTS:
         raise ValueError(f"unknown kernel layout: {name!r}")
     _active_layout = name
 
 
 def active_layout() -> str:
     return _active_layout
+
+
+def _opt_g(layout: str) -> int:
+    """Parse and bound the refresh period of an "optG" layout name.
+    g is capped at 11: a period block needs 5g+1+g+g(g-1)/2+2 constant
+    columns and must fit one 128-lane table block (g=11 -> 125)."""
+    try:
+        g = int(layout[3:]) if len(layout) > 3 else 8
+    except ValueError:
+        raise ValueError(f"bad opt layout suffix: {layout!r}") from None
+    if not 1 <= g <= 11:
+        raise ValueError(f"opt refresh period g={g} out of range [1, 11]")
+    return g
 
 
 def _ext_lhs_i8(a: np.ndarray, invq_in: np.ndarray) -> np.ndarray:
@@ -1044,8 +1059,10 @@ def _split_io(mode: str, io, run, cols, t_tile: int, n_perms: int):
 def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
                  layout: str | None = None):
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
+    if layout is None:
+        layout = _active_layout
     if layout.startswith("opt"):
-        g = int(layout[3:]) if len(layout) > 3 else 8
+        g = _opt_g(layout)
         (rcf_np, mds2_np, optk_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8,
          cols_np, r_f, r_p, n_per, rem) = _packed_opt(g)
         lhs1_np, lhs2_np = (lhs1_i8, lhs2_i8) if dots == "int8" else \
@@ -1090,8 +1107,6 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
             else:
                 run = partial(_permutation_split, redc2=redc2, canon2=canon2,
                               rc_ref=rc_ref, mds=mds, r_f=r_f, r_p=r_p)
-            split = lambda x: (x[:n], x[n:])
-            padd = lambda w, c: (w[0] + c[0], w[1] + c[1])
         elif layout in ("v0", "v0e", "v0x"):
             redc, (q_all, invq_all) = _make_redc_v0(
                 lhs1, lhs2, cols, dots=dots,
@@ -1110,61 +1125,35 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
             run = partial(_permutation, redc=redc, canon=canon, rc_ref=rc_ref,
                           mds=mds, r_f=r_f, r_p=r_p, t_tile=t_tile)
 
-        if mode == "perm":
+        if layout in ("split", "spsim"):
+            _split_io(mode, io, run, cols, t_tile, n_perms)
+        elif mode == "perm":
             st_ref, out_ref = io
             # state io is 2D [3*48, T]: word j = rows 48j..48j+47 (Mosaic
             # lowers leading-index reads of 3D refs to unsupported gathers)
-            if layout in ("split", "spsim"):
-                words = [split(st_ref[48 * j:48 * (j + 1)]) for j in range(3)]
-                for _ in range(n_perms):
-                    words = run(words)
-                for j in range(3):
-                    out_ref[48 * j:48 * j + n] = words[j][0]
-                    out_ref[48 * j + n:48 * (j + 1)] = words[j][1]
-            else:
-                words = [st_ref[48 * j:48 * (j + 1)] for j in range(3)]
-                for _ in range(n_perms):
-                    words = run(words)
-                for j in range(3):
-                    out_ref[48 * j:48 * (j + 1)] = words[j]
+            words = [st_ref[48 * j:48 * (j + 1)] for j in range(3)]
+            for _ in range(n_perms):
+                words = run(words)
+            for j in range(3):
+                out_ref[48 * j:48 * (j + 1)] = words[j]
         else:
             iv0 = cols[:, 10:11]
             one = cols[:, 11:12]
-            if layout in ("split", "spsim"):
-                iv0w = tuple(jnp.broadcast_to(h, (n, t_tile))
-                             for h in split(iv0))
-                onep = split(one)
-                if mode == "hash2":
-                    a_ref, b_ref, out_ref = io
-                    words = [iv0w, split(a_ref[:]), split(b_ref[:])]
-                    words = run(words)
-                    words = [words[0], padd(words[1], onep), words[2]]
-                    words = run(words)
-                else:
-                    a_ref, b_ref, c_ref, out_ref = io
-                    words = [iv0w, split(a_ref[:]), split(b_ref[:])]
-                    words = run(words)
-                    words = [words[0], padd(words[1], split(c_ref[:])),
-                             padd(words[2], onep)]
-                    words = run(words)
-                out_ref[:n] = words[1][0]
-                out_ref[n:] = words[1][1]
+            if mode == "hash2":
+                a_ref, b_ref, out_ref = io
+                words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
+                         a_ref[:], b_ref[:]]
+                words = run(words)
+                words = [words[0], words[1] + one, words[2]]
+                words = run(words)
             else:
-                if mode == "hash2":
-                    a_ref, b_ref, out_ref = io
-                    words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
-                             a_ref[:], b_ref[:]]
-                    words = run(words)
-                    words = [words[0], words[1] + one, words[2]]
-                    words = run(words)
-                else:
-                    a_ref, b_ref, c_ref, out_ref = io
-                    words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
-                             a_ref[:], b_ref[:]]
-                    words = run(words)
-                    words = [words[0], words[1] + c_ref[:], words[2] + one]
-                    words = run(words)
-                out_ref[:] = words[1]
+                a_ref, b_ref, c_ref, out_ref = io
+                words = [jnp.broadcast_to(iv0, (N_CH, t_tile)),
+                         a_ref[:], b_ref[:]]
+                words = run(words)
+                words = [words[0], words[1] + c_ref[:], words[2] + one]
+                words = run(words)
+            out_ref[:] = words[1]
 
     return kernel, (rc_np, mds_np, lhs1_np, lhs2_np, cols_np)
 
@@ -1175,7 +1164,7 @@ def _const_specs(consts):
 
 @lru_cache(maxsize=None)
 def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
-                dots: str = "bf16", layout: str | None = None):
+                dots: str = "bf16", layout: str = DEFAULT_LAYOUT):
     kernel, consts = _make_kernel(n_perms, t_tile, "perm", dots=dots,
                                   layout=layout)
 
@@ -1211,7 +1200,7 @@ def permute_n(st, n_perms: int = 1, t_tile: int = DEFAULT_TILE,
 
 @lru_cache(maxsize=None)
 def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16",
-             layout: str | None = None):
+             layout: str = DEFAULT_LAYOUT):
     kernel, consts = _make_kernel(1, t_tile, mode, dots=dots, layout=layout)
     n_in = 2 if mode == "hash2" else 3
 

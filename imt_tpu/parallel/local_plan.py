@@ -228,8 +228,6 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
             jax.lax.dynamic_slice_in_dim(dh_ni, sl, per, axis=1))
         dirty_hash = jax.lax.all_gather(local_hash, "shard",
                                         axis=1, tiled=True)      # [CH, 2K+p]
-        slab_hash = dirty_hash[:, :k]
-        wr_hash = dirty_hash[:, k:2 * k]
 
         # ---- 4c. local tree update: slab/low split on local widths ------
         # The K new slots are globally contiguous; each shard covers its

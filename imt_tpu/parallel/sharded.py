@@ -354,10 +354,13 @@ class ShardedIndexedMerkleTree:
             vals, k = _as_limb_batch(values)
             d = self._mesh.devices.size
             t = self._inner
+            before = self.active_depth
             if hasattr(t, "_grow_to"):
                 t._grow_to(t.count + k + 1)
             elif t.count + k >= t.num_slots:
                 raise ValueError("tree full")
+            if self.active_depth != before:
+                self._place()          # growth re-placement (shard-wise)
             ad = self.active_depth
             if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
                 return self.insert_batch(vals, witness=True,
