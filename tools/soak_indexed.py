@@ -74,8 +74,12 @@ def main() -> None:
             mode = rng.random()
             if mode < 0.15 and inserted:          # exact duplicate
                 return rng.choice(inserted)
-            if mode < 0.3 and inserted:           # adjacent
-                return max(1, rng.choice(inserted) + rng.choice([-1, 1]))
+            if mode < 0.3 and inserted:           # adjacent — canonical
+                # mod p: (p-1)+1 wraps to 0, the rejected sentinel (the
+                # engine canonicalizes every input mod p at the limb
+                # boundary, so the differential expectations must too)
+                return max(1, rng.choice(inserted) + rng.choice([-1, 1])) \
+                    % field.P
             if mode < 0.35:
                 return rng.choice([1, 2, field.P - 1, field.P - 2])
             return rng.randrange(1, field.P)
