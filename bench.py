@@ -33,6 +33,22 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# Physical sanity bound for ONE headline round (perms/s).  The timing-only
+# `spsim` kernel variant (columns never reduced — numerically unsound, strictly
+# less work than any value-exact layout) measured 9.72M perms/s on this chip
+# (BASELINE.md round 4).  A round reading ABOVE the unsound ideal + tunnel
+# noise margin cannot be a real execution rate — it means the K1 timing was
+# inflated by tunnel contention (observed: a 40.1M "round" in BENCH_r04.json),
+# so the round is a corrupted sample, not data.  Re-measure spsim and update
+# this constant if the kernel structure changes; override via
+# IMT_BENCH_SANITY_MPS for experiments.
+SPSIM_BOUND_PERMS_S = 9.72e6
+HEADLINE_ROUNDS = 9      # >= 9 per round-5 protocol (median over valid rounds)
+HEADLINE_REPS = 3        # timings per K per round; min() taken — contention
+                         # only ever INFLATES a timing, never deflates it,
+                         # so min-of-reps is the principled estimator
+
+
 def _setup_jax():
     import jax
     try:
@@ -46,7 +62,9 @@ def _setup_jax():
     return jax
 
 
-def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6) -> float:
+def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6):
+    """Returns (rate, extras) — extras carries the per-round list for the
+    headline artifact (empty for the secondary engines)."""
     jax = _setup_jax()
     import jax.numpy as jnp
     import numpy as np
@@ -67,42 +85,102 @@ def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6) -> float:
         mask = jnp.uint32(0x7FF)
         cast = lambda x: x.astype(jnp.float32)
         if engine == "pallas-chain":
-            # chain all K permutations inside ONE kernel (state VMEM-resident)
-            class _EngChain:
-                pass
+            # K counts OUTER fori_loop iterations around ONE compiled kernel
+            # that chains CHAIN=2 permutations VMEM-resident (the exact shape
+            # production hash2 uses).  The outer loop scales the timed work
+            # arbitrarily at ZERO extra Mosaic-compile cost (in-kernel
+            # chaining unrolls the kernel body, so compile time grows with
+            # K — the old protocol was stuck at K<=6, whose 14-44 ms
+            # executions sat BELOW the tunnel's timing noise floor and
+            # produced negative/impossible slopes).  Per-iteration HBM state
+            # round-trip: 2x37.7 MB at ~0.8 TB/s ~= 0.09 ms vs ~14 ms of
+            # compute — <1% overhead.
+            CHAIN = 2
             def make_chain(k):
                 @jax.jit
                 def f(seed):
                     base = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) ^ seed
                     st = cast(base & mask)
-                    st = pk.permute_n(st, k, t_tile=tile, dots=dots,
-                                      layout=layout)
+                    st = jax.lax.fori_loop(
+                        0, k,
+                        lambda i, s: pk.permute_n(s, CHAIN, t_tile=tile,
+                                                  dots=dots, layout=layout),
+                        st)
                     return st[:, :1]
                 return f
-            # Median-of-rounds: single slope measurements on this chip
-            # spread up to +-8% (shared tunnel); interleaved rounds +
-            # median keep the reported number honest and stable.
+            # Round-5 measurement protocol (VERDICT r04 item 1).  The shared
+            # axon tunnel spreads single timings +-8% (occasionally 4x: the
+            # 40.1M "round" in BENCH_r04.json), so:
+            #   * warm each program with 2 post-compile executions (first
+            #     execution runs up to 6x slow — device program load);
+            #   * per round, time each K HEADLINE_REPS times interleaved and
+            #     take the min (contention only inflates timings);
+            #   * run HEADLINE_ROUNDS rounds; REJECT any round whose rate
+            #     exceeds the measured spsim physical bound (corrupted K1
+            #     timing) or is non-positive (t_k2 < t_k1);
+            #   * report the median of valid rounds + the full per-round
+            #     list so the artifact shows the spread.
+            import os as _os
             import statistics
+            bound = float(_os.environ.get("IMT_BENCH_SANITY_MPS", "0")) * 1e6 \
+                or SPSIM_BOUND_PERMS_S
             fns = {}
             for k in (k1, k2):
                 f = make_chain(k)
                 t0 = time.time()
                 np.asarray(f(jnp.uint32(1)))
                 log(f"K={k}: compile+first {time.time()-t0:.0f}s")
+                t0 = time.time()
+                np.asarray(f(jnp.uint32(1)))
+                log(f"K={k}: warm {time.time()-t0:.3f}s")
                 fns[k] = f
-            rates = []
-            for r in range(5):
-                times = {}
-                for k in (k1, k2):
-                    t0 = time.time()
-                    np.asarray(fns[k](jnp.uint32(2 + r)))
-                    times[k] = time.time() - t0
-                slope = (times[k2] - times[k1]) / (k2 - k1)
-                rates.append(batch / slope)
-                log(f"round {r}: {rates[-1]/1e6:.3f} M perms/s")
-            rate = statistics.median(rates)
-            log(f"median of {len(rates)}: {rate/1e6:.3f} M perms/s")
-            return rate
+            rounds, rejected = [], []
+            suspect = False
+            for attempt in range(2):          # one full retry if ALL rejected
+                for r in range(HEADLINE_ROUNDS):
+                    times = {k1: [], k2: []}
+                    for rep in range(HEADLINE_REPS):
+                        for k in (k1, k2):
+                            t0 = time.time()
+                            np.asarray(fns[k](jnp.uint32(
+                                2 + (attempt * HEADLINE_ROUNDS + r)
+                                * HEADLINE_REPS + rep)))
+                            times[k].append(time.time() - t0)
+                    slope = (min(times[k2]) - min(times[k1])) / (k2 - k1)
+                    rate = batch * CHAIN / slope if slope > 0 else float("inf")
+                    ok = 0 < rate <= bound
+                    (rounds if ok else rejected).append(rate)
+                    log(f"round {r}: {rate/1e6:.3f} M perms/s"
+                        + ("" if ok else "  REJECTED (corrupted timing: above "
+                           f"spsim bound {bound/1e6:.2f}M or non-positive)"))
+                if rounds:
+                    break
+                log("all rounds rejected — retrying once (tunnel storm?)")
+            if not rounds:
+                # tunnel unusable; report the least-bad number but FLAG it
+                # rather than crash the driver's artifact capture
+                suspect = True
+                rounds = [x for x in rejected if x != float("inf")] or [0.0]
+                log("WARNING: headline is SUSPECT — every round exceeded the "
+                    "physical bound; treat this artifact as unmeasured")
+            rate = statistics.median(rounds)
+            spread = (max(rounds) - min(rounds)) / rate
+            log(f"median of {len(rounds)} valid rounds "
+                f"({len(rejected)} rejected): {rate/1e6:.3f} M perms/s, "
+                f"spread {spread:.1%}")
+            extras = {
+                "rounds_mps": [round(x / 1e6, 3) for x in rounds],
+                "rejected_mps": [round(x / 1e6, 3) for x in rejected],
+                "spread": round(spread, 4),
+                "sanity_bound_mps": round(bound / 1e6, 3),
+                "protocol": (f"outer fori_loop x in-kernel chain {CHAIN}, "
+                             f"min-of-{HEADLINE_REPS} interleaved timings/K, "
+                             f"slope iters {k2}-{k1}, median of valid "
+                             "rounds"),
+            }
+            if suspect:
+                extras["suspect"] = True
+            return rate, extras
     elif engine == "rns":
         from imt_tpu.ops.poseidon_rns import PoseidonRns
         eng = PoseidonRns()
@@ -147,7 +225,7 @@ def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6) -> float:
     slope = (times[k2] - times[k1]) / (k2 - k1)
     rate = batch / slope
     log(f"{slope*1e3:.2f} ms/permutation-batch -> {rate/1e6:.3f} M perms/s")
-    return rate
+    return rate, {}
 
 
 def bench_insert(depth: int, k: int, iters: int) -> float:
@@ -485,7 +563,15 @@ def main() -> None:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tools"))
         from tpu_parity_check import run_parity
-        parity = run_parity()
+        try:
+            parity = run_parity()
+        except AssertionError as e:
+            # CPU-only host: record the missing chip instead of dying with a
+            # bare assertion (--artifact numbers are meaningless off-chip, but
+            # the artifact should say so, not crash)
+            parity = {"tpu_parity": False, "checks": [],
+                      "reason": f"no TPU/axon chip on this host ({e})"}
+            log(f"tpu parity SKIPPED: {parity['reason']}")
         results = []
         for cfg in ["2", "3", "3w", "4", "5"]:
             log(f"=== config {cfg} ===")
@@ -495,6 +581,8 @@ def main() -> None:
             "device": "1 TPU chip (axon tunnel)",
             "tpu_parity": parity["tpu_parity"],
             "tpu_parity_checks": parity["checks"],
+            **({"tpu_parity_reason": parity["reason"]}
+               if "reason" in parity else {}),
             "configs": results,
         }
         import os
@@ -522,13 +610,20 @@ def main() -> None:
 
     if args.smoke:
         args.batch = 2048
-        rate = bench_perms(args.batch, args.engine, k1=1, k2=3)
+        rate, extras = bench_perms(args.batch, args.engine, k1=1, k2=3)
+    elif args.engine == "pallas-chain":
+        # outer-loop iteration counts: 5 vs 25 iters x CHAIN=2 perms ->
+        # ~290 ms of timed-work separation, far above the tunnel's timing
+        # noise floor (K<=6 in-kernel chains measured 14-44 ms executions,
+        # which produced impossible slopes under contention — BENCH_r04)
+        rate, extras = bench_perms(args.batch, args.engine, k1=5, k2=25)
     else:
-        rate = bench_perms(args.batch, args.engine)
+        rate, extras = bench_perms(args.batch, args.engine)
     print(json.dumps({
         "metric": "Poseidon perms/s/chip",
         "value": round(rate, 1), "unit": "perms/s",
         "vs_baseline": round(rate / 10_000_000, 4),
+        **extras,
     }))
 
 

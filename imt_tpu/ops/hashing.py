@@ -157,10 +157,17 @@ def hash3_leaf(a, b, c):
 def hash_fixed(cols):
     """Batched fixed-length hash of any arity (the halo2-base
     hash_fix_len_array contract).  Lengths 2/3 route through the dispatched
-    hash2/hash3 fast paths; other lengths use the RNS engine's sponge."""
+    hash2/hash3 fast paths; other lengths run the ACTIVE backend's sponge
+    (cios -> poseidon_jax, rns -> poseidon_rns; the pallas kernel only
+    implements the chained 2/3 shapes, so the pallas backend uses its
+    documented rns fallback for other arities — same node-compatible
+    representation, bit-exact)."""
     if len(cols) == 2:
         return hash2(*cols)
     if len(cols) == 3:
         return hash3(*cols)
+    if backend() == "cios":
+        from . import poseidon_jax
+        return poseidon_jax.default_engine().hash_fixed(list(cols))
     from . import poseidon_rns
     return poseidon_rns.default_engine().hash_fixed(list(cols))

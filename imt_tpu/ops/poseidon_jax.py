@@ -175,6 +175,55 @@ class Poseidon:
         st = self.permute(st)
         return field.normalize(field.from_mont(st[:, 1], unroll=self.unroll), unroll=self.unroll)
 
+    def hash_fixed(self, cols):
+        """Arbitrary fixed-length hash — the halo2-base
+        ``PoseidonHasher::hash_fix_len_array`` contract (reference
+        src/indexed_merkle_tree.rs:92,:194) on the CIOS engine: absorb
+        RATE=2 chunks with a permutation per full chunk, pad the final
+        chunk with a single 1 (pse-poseidon sponge discipline, SURVEY
+        §2.2).  cols: list of canonical limb arrays uint32[16, B]; returns
+        uint32[16, B].  Lengths 2/3 agree with hash2/hash3 by
+        construction; all lengths agree with the python sponge oracle
+        (tests/test_poseidon_jax.py)."""
+        if not cols:
+            raise ValueError("hash_fixed needs at least one input")
+        u = self.unroll
+        xs = [field.to_mont(x, unroll=u) for x in cols]
+        bsz = xs[0].shape[1:]
+        iv0 = jnp.broadcast_to(jnp.asarray(self._iv)[:, 0:1],
+                               (field.LIMBS, 1) + bsz)
+        one = jnp.broadcast_to(jnp.asarray(self._one)[:, None],
+                               (field.LIMBS, 1) + bsz)
+        if len(xs) == 1:                    # single padded chunk [x, 1]
+            st = jnp.concatenate([iv0, xs[0][:, None], one], axis=1)
+            st = self.permute(st)
+            return field.normalize(field.from_mont(st[:, 1], unroll=u),
+                                   unroll=u)
+        # first full chunk seeds words 1/2 directly (state starts at zero)
+        st = jnp.concatenate([iv0, xs[0][:, None], xs[1][:, None]], axis=1)
+        st = self.permute(st)
+        i = 2
+        while i + 2 <= len(xs):             # full RATE=2 chunks
+            st = jnp.concatenate(
+                [st[:, 0:1],
+                 field.add_mod(st[:, 1:2], xs[i][:, None], unroll=u),
+                 field.add_mod(st[:, 2:3], xs[i + 1][:, None], unroll=u)],
+                axis=1)
+            st = self.permute(st)
+            i += 2
+        if i < len(xs):                     # trailing element + pad 1
+            st = jnp.concatenate(
+                [st[:, 0:1],
+                 field.add_mod(st[:, 1:2], xs[i][:, None], unroll=u),
+                 field.add_mod(st[:, 2:3], one, unroll=u)], axis=1)
+        else:                               # pad-only chunk [1]
+            st = jnp.concatenate(
+                [st[:, 0:1], field.add_mod(st[:, 1:2], one, unroll=u),
+                 st[:, 2:3]], axis=1)
+        st = self.permute(st)
+        return field.normalize(field.from_mont(st[:, 1], unroll=u),
+                               unroll=u)
+
 
 # Module-level default engine + jitted entry points.
 _default_engine: Poseidon | None = None

@@ -108,7 +108,7 @@ def active_layout() -> str:
 def _opt_g(layout: str) -> int:
     """Parse and bound the refresh period of an "optG" layout name.
     g is capped at 11: a period block needs 5g+1+g+g(g-1)/2+2 constant
-    columns and must fit one 128-lane table block (g=11 -> 125)."""
+    columns and must fit one 128-lane table block (g=11 -> 124)."""
     try:
         g = int(layout[3:]) if len(layout) > 3 else 8
     except ValueError:
@@ -1061,6 +1061,16 @@ def _make_kernel(n_perms: int, t_tile: int, mode: str, dots: str = "bf16",
     """mode: 'perm' (n_perms permutations), 'hash2', 'hash3'."""
     if layout is None:
         layout = _active_layout
+    if layout == "spsim":
+        # timing-only diagnostic (columns never reduced — numerically WRONG
+        # outputs).  One keyword must not be enough to put it on a data
+        # path: require the explicit unsound spelling "spsim!" (mirrors the
+        # set_layout refusal; used by tools/ab_kernel.py A/Bs only).
+        raise ValueError(
+            "layout 'spsim' is a timing-only diagnostic with numerically "
+            "wrong outputs; spell it 'spsim!' to opt in explicitly")
+    if layout == "spsim!":
+        layout = "spsim"
     if layout.startswith("opt"):
         g = _opt_g(layout)
         (rcf_np, mds2_np, optk_np, lhs1_bf, lhs2_bf, lhs1_i8, lhs2_i8,

@@ -277,6 +277,25 @@ class ShardedIndexedMerkleTree:
         return self._inner.verify_proof(leaf, index, root, proof)
 
     def insert(self, value: int, as_numpy: bool = True):
+        """Single insert with full witness bundle.
+
+        With local_plan (the default) this routes through the shard-local
+        WITNESS batch at K=1 (parallel/local_plan.py) — O(1) collectives
+        instead of the inner tree's GSPMD `_insert_step_fn`, whose planner
+        masks/argmaxes over all N slots and therefore moves full-state
+        collectives on a mesh (the pattern the collective inventory calls
+        fatal at scale, SCALING.md §2).  Witnesses are bit-identical to the
+        sequential inner insert (temporal ANSV at K=1; asserted vs the
+        dense reference tree in tests/_sharded_check.py).  The bare-insert
+        dispatch footgun warning still applies — prefer insert_seq /
+        insert_batch for sequences."""
+        if self.local_plan:
+            from ..tree.indexed import _count_bare_insert
+            _count_bare_insert()
+            # insert_batch handles growth, placement, and the
+            # too-small-to-shard GSPMD-witness fallback
+            return self.insert_batch([value], witness=True,
+                                     as_numpy=as_numpy)
         before = self.active_depth
         w = self._inner.insert(value, as_numpy=as_numpy)
         if self.active_depth != before:

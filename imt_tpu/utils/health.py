@@ -69,8 +69,15 @@ def check_tree(tree, sample: int = 8, seed: int = 0) -> HealthReport:
     failures = []
     for s in slots:
         v, nv, ni = tree.get_leaf_ints(int(s))
-        # (b) linked-list order invariant
-        if v != 0 or s == 0:
+        # (b) linked-list order invariant.  A ZERO value in an occupied
+        # slot (1..count) is itself corruption — insertion never stores 0
+        # (reserved for the sentinel/empty leaf), and skipping such slots
+        # would let a zeroed-and-rehashed state evade the audit entirely
+        # (ADVICE r04).
+        if v == 0 and s != 0:
+            failures.append((int(s), "empty",
+                             "occupied slot holds the reserved zero value"))
+        elif v != 0 or s == 0:
             if nv != 0 and not (v < nv):
                 failures.append((int(s), "order", f"val={v} next_val={nv}"))
         # (a) leaf hash consistent with the current root via the tree's

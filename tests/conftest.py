@@ -18,10 +18,7 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeated test runs skip XLA recompiles.
 # Keyed per host fingerprint — XLA:CPU AOT entries from a different machine
 # type can SIGILL/segfault when loaded (utils/cache.host_cache_dir).
-import sys as _sys
-
-_sys.path.insert(0, os.path.abspath(
-    os.path.join(os.path.dirname(__file__), "..")))
+# imt_tpu is an installed package: pip install -e . (pyproject.toml)
 from imt_tpu.utils.cache import host_cache_dir
 
 _cache_dir = host_cache_dir(os.path.abspath(

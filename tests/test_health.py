@@ -52,6 +52,28 @@ def test_check_tree_detects_order_corruption():
         check_tree(t, sample=8)
 
 
+def test_check_tree_detects_zeroed_occupied_slot():
+    """An occupied slot zeroed AND rehashed (paths verify, order check
+    vacuous for v=0) must still fail the audit — the 'empty' corruption
+    class from ADVICE r04: insertion never stores the reserved 0 value."""
+    t = IndexedMerkleTree(4)
+    t.insert_batch([30, 10, 20])
+    vals = np.asarray(t.vals).copy()
+    nvs = np.asarray(t.next_vals).copy()
+    nis = np.asarray(t.next_idxs).copy()
+    vals[:, 2] = 0                       # zero out an occupied slot
+    nvs[:, 2] = 0
+    nis[:, 2] = 0
+    t.vals, t.next_vals, t.next_idxs = (jnp.asarray(vals), jnp.asarray(nvs),
+                                        jnp.asarray(nis))
+    # rehash so every path verifies — only the occupancy contract is broken
+    leaves = hashing.hash3_leaf(t.vals, t.next_vals, t.next_idxs)
+    from imt_tpu.tree.indexed import _build_levels_fn
+    t.levels = _build_levels_fn(t.tree_depth, t.node_repr)(leaves)
+    with pytest.raises(TreeCorruption, match="empty|zero"):
+        check_tree(t, sample=8)
+
+
 def test_watchdog_cadence_and_delegation():
     wd = Watchdog(SparseIndexedMerkleTree(24, initial_capacity_log2=4),
                   interval=2, sample=4)

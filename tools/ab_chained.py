@@ -17,7 +17,7 @@ import argparse
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
 
 def log(m):

@@ -19,7 +19,7 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
 
 def main():

@@ -23,44 +23,12 @@ import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
-_COLL = re.compile(
-    r"^\s*(?:\S+\s*=\s*)?"
-    r"((?:[a-z0-9-]+\s+)?(?:f32|u32|s32|u8|pred|s8|bf16|u64|s64|f64)"
-    r"(?:\[[0-9,]*\])?(?:\{[0-9,]*\})?)\s*"
-    r"(all-gather|all-reduce|all-to-all|collective-permute|reduce-scatter"
-    r"|all-gather-start|all-reduce-start)\(",
-    re.M)
-
-_SHAPE = re.compile(r"(f32|u32|s32|u8|pred|s8|bf16|u64|s64|f64)\[([0-9,]*)\]")
-
-_BYTES = {"f32": 4, "u32": 4, "s32": 4, "u8": 1, "s8": 1, "pred": 1,
-          "bf16": 2, "u64": 8, "s64": 8, "f64": 8}
-
-
-def shape_bytes(s: str) -> int:
-    total = 0
-    for dt, dims in _SHAPE.findall(s):
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _BYTES[dt]
-    return total
-
-
-def inventory(hlo: str):
-    """[(kind, out_shape, bytes)] for every collective in the HLO text."""
-    out = []
-    for line in hlo.splitlines():
-        m = re.search(
-            r"=\s*(\([^)]*\)|\S+)\s+(all-gather|all-reduce|all-to-all|"
-            r"collective-permute|reduce-scatter|all-gather-start|"
-            r"all-reduce-start)\(", line)
-        if m:
-            out.append((m.group(2), m.group(1), shape_bytes(m.group(1))))
-    return out
+# shared audit core (also the failing test's backend —
+# tests/test_parallel.py::test_collective_n_independence)
+from imt_tpu.parallel.collective_audit import (   # noqa: E402
+    audit_local_plan, inventory, shape_bytes)
 
 
 def main():
@@ -187,56 +155,14 @@ def main():
                if bad else "all collectives < state size")
         print(f"{name}: {tag}")
 
-    depth2 = depth + 2
-    tree2 = indexed.IndexedMerkleTree(depth2)
-    state2 = (
-        jax.device_put(tree2.vals, shard),
-        jax.device_put(tree2.next_vals, shard),
-        jax.device_put(tree2.next_idxs, shard),
-        tuple(jax.device_put(l, shard if l.shape[1] >= d else repl)
-              for l in tree2.levels),
-    )
-
-    def total_at(fn, fn_args):
-        hlo = jax.jit(fn).lower(*fn_args).compile().as_text()
-        return sum(nb for _, _, nb in inventory(hlo))
-
-    l2 = local_plan._local_insert_batch_fn(depth2, k, d, key,
-                                           tree.node_repr)
-    lc2 = local_plan._local_insert_batch_fn(depth2, k, d, key,
-                                            tree.node_repr, bchain)
-    lq2 = local_plan._local_non_inclusion_fn(depth2, k, d, key, depth2,
-                                             tree.node_repr)
-    lw2 = local_plan._local_insert_batch_witness_fn(depth2, k, d, key,
-                                                    depth2, tree.node_repr)
-    fails = []
-    for name, f1, f2, a1, a2 in (
-        ("insert_batch (shard-local planner)", lstep.run, l2.run,
-         (*state[:3], *state[3], nv1, jnp.int32(0)),
-         (*state2[:3], *state2[3], nv1, jnp.int32(0))),
-        (f"insert_batches chain b={bchain} (shard-local)", lchain.run,
-         lc2.run,
-         (*state[:3], *state[3], nvb, jnp.int32(0)),
-         (*state2[:3], *state2[3], nvb, jnp.int32(0))),
-        ("non_inclusion_witness (shard-local)", lq.run, lq2.run,
-         (*state[:3], *state[3], new_vals),
-         (*state2[:3], *state2[3], new_vals)),
-        ("insert_batch witness (shard-local)", lw.run, lw2.run,
-         (*state[:3], *state[3], new_vals, jnp.int32(0)),
-         (*state2[:3], *state2[3], new_vals, jnp.int32(0))),
-    ):
-        t1, t2 = reports[name][1], total_at(f2, a2)
-        # the base/proof psums may grow with depth_loc (output size), never
-        # with N: allow the +2 extra levels' 2K-column psum rows, nothing
-        # proportional to the 4x state
-        allowed = t1 + 2 * (2 * k) * 48 * 4 + 4 * k
-        status = "N-independent" if t2 <= allowed else "GROWS WITH N"
-        print(f"{name}: {t1:,} B at depth {depth} -> {t2:,} B at depth "
-              f"{depth2} ({status})")
-        if t2 > allowed:
-            fails.append(name)
-    if fails:
-        print("\nFAIL: local-plan collectives grow with tree size:", fails)
+    # two-size N-independence check — shared with the slow-tier regression
+    # test (imt_tpu/parallel/collective_audit.py)
+    res = audit_local_plan(devices=d, depth=depth, k=k, chain=bchain)
+    print()
+    print(res.summary())
+    if res.failures:
+        print("\nFAIL: local-plan collectives grow with tree size:",
+              [p.name for p in res.failures])
         sys.exit(1)
     print("\nOK: every shard-local path's collective volume is independent "
           "of the tree size (O(K / K*depth_loc), never O(N))")

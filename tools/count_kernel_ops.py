@@ -22,7 +22,7 @@ import os
 import sys
 from collections import defaultdict
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
 
 ELEMWISE = {

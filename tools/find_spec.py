@@ -11,7 +11,7 @@ winning variant into imt_tpu/ops/{grain,poseidon_ref}.py.
 import itertools
 import sys
 
-sys.path.insert(0, "/root/repo")
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
 from imt_tpu.ops.grain import P, Grain, generate_mds, generate_round_constants
 

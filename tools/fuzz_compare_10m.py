@@ -17,7 +17,7 @@ Run:  JAX_PLATFORMS=cpu python tools/fuzz_compare_10m.py   (~2-4 min)
 import sys
 import time
 
-sys.path.insert(0, ".")
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
 import jax  # noqa: E402
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 
 
 def spine_fold_oracle(root: int, depth: int, full_depth: int, params) -> int:

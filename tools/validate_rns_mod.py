@@ -12,7 +12,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# imt_tpu is an installed package (pip install -e . — pyproject.toml)
 from imt_tpu.ops.rns_spec import default_rns  # noqa: E402
 
 
