@@ -207,8 +207,9 @@ def test_tree_full():
 
 
 def test_bare_insert_footgun_warning():
-    """>100 bare insert() calls fire ONE RuntimeWarning nudging to
-    insert_seq (config 3's 207/s vs 67.7K/s — README throughput note)."""
+    """>_BARE_INSERT_WARN_AT bare insert() calls fire ONE RuntimeWarning
+    nudging to insert_seq (config 3's 207/s vs 67.7K/s — README throughput
+    note)."""
     import warnings
 
     from imt_tpu.tree import indexed as mod
@@ -218,10 +219,10 @@ def test_bare_insert_footgun_warning():
         mod._bare_insert_calls = 0
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            for _ in range(100):
+            for _ in range(mod._BARE_INSERT_WARN_AT):
                 mod._count_bare_insert()
             assert not rec, "warned too early"
-            mod._count_bare_insert()          # call 101 fires
+            mod._count_bare_insert()          # threshold+1 fires
             assert len(rec) == 1
             assert issubclass(rec[0].category, RuntimeWarning)
             assert "insert_seq" in str(rec[0].message)

@@ -132,6 +132,66 @@ def test_soak_config5_stream():
         f"RSS grew {growth_kb} kB across steady-state chains: {marks}"
 
 
+def test_soak_growth_watchdog():
+    """Endurance across CAPACITY GROWTH (VERDICT r04 item 7): a depth-32
+    sparse tree streamed from a deliberately small active prefix so the
+    stream crosses >= 2 capacity doublings MID-STREAM (the growth-recompile
+    path test_soak_config5_stream deliberately avoids), wrapped in a
+    Watchdog auditing invariants on cadence.  Asserts (a) >= 2 doublings
+    actually happened, (b) the watchdog audited and never tripped, (c) the
+    metrics hash model kept advancing, (d) the RSS watermark is bounded in
+    the POST-growth steady state, and (e) a final full check_tree + root
+    parity vs an independent rebuild."""
+    import gc
+
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from imt_tpu.ops import field
+    from imt_tpu.tree.sparse import SparseIndexedMerkleTree
+    from imt_tpu.utils.health import Watchdog, check_tree
+    from imt_tpu.utils.observability import GLOBAL_METRICS
+
+    k, n_batches = 256, 20
+    inner = SparseIndexedMerkleTree(32, initial_capacity_log2=10)
+    ad0 = inner.active_depth                 # 1024 slots; 20*256 = 5120
+    t = Watchdog(inner, interval=4, sample=6)  # inserts cross 2 doublings
+    h0 = GLOBAL_METRICS.snapshot().get("hashes", 0)
+    total = 0
+    marks, depth_steps = [], []
+    for c in range(n_batches):
+        ok = t.insert_batch(
+            field.random_limbs(0x6_0A7 + c, k))
+        assert np.asarray(ok).all(), f"batch {c} rejected lanes"
+        total += k
+        depth_steps.append(inner.active_depth)
+        gc.collect()
+        marks.append(_rss_kb())
+    # (a) the stream crossed >= 2 doublings mid-stream
+    assert inner.active_depth >= ad0 + 2, (ad0, inner.active_depth)
+    assert depth_steps[0] < depth_steps[-1]
+    # (b) the watchdog ran on cadence and never raised
+    assert t._audits >= n_batches // 4
+    # (c) metrics advanced by at least the leaf-hash floor
+    h1 = GLOBAL_METRICS.snapshot().get("hashes", 0)
+    assert h1 - h0 >= 2 * total
+    # (d) RSS watermark bounded AFTER the last growth recompile: compare
+    # within the final-capacity steady state only
+    last_growth = max(i for i in range(n_batches)
+                      if i == 0 or depth_steps[i] != depth_steps[i - 1])
+    steady = marks[last_growth + 1:] or marks[-2:]
+    growth_kb = max(steady) - steady[0]
+    sys.stderr.write(f"rss marks (kb): {marks}\ndepths: {depth_steps}\n")
+    assert growth_kb < 256 * 1024, \
+        f"RSS grew {growth_kb} kB in post-growth steady state: {marks}"
+    # (e) final audit + root parity vs independent rebuild
+    assert check_tree(inner, sample=16).ok
+    rebuilt = SparseIndexedMerkleTree.from_arrays(inner.to_arrays())
+    assert rebuilt.get_root_int() == inner.get_root_int()
+    assert inner.count == total
+
+
 def test_soak_kill_resume(tmp_path):
     """Kill a checkpointing worker mid-stream (SIGKILL, no cleanup), resume
     from its last atomic snapshot, replay the remaining batches, and require

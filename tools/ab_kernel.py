@@ -26,11 +26,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+",
                     default=["split:4096", "cat:2048"],
-                    help="layout:tile[:dots] specs")
+                    help="layout:tile[:dots] specs (spell spsim as spsim!)")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1 << 16)
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=16)
+    ap.add_argument("--outer", action="store_true",
+                    help="k1/k2 count OUTER fori_loop iterations around an "
+                         "in-kernel chain of 2 perms (bench.py round-5 "
+                         "protocol: K-independent compiles, work separation "
+                         "scales freely; use with e.g. --k1 5 --k2 25)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timings per (variant, K) per round; min() taken "
+                         "(contention only inflates timings)")
     args = ap.parse_args()
 
     import jax
@@ -45,12 +53,23 @@ def main():
     shape = (144, args.batch)
     mask = jnp.uint32(0x7FF)
 
+    CHAIN = 2                      # in-kernel perms per outer iteration
+    perms_per_k = CHAIN if args.outer else 1
+
     def make(layout, tile, dots, k):
         @jax.jit
         def f(seed):
             base = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) ^ seed
             st = (base & mask).astype(jnp.float32)
-            st = pk.permute_n(st, k, t_tile=tile, dots=dots, layout=layout)
+            if args.outer:
+                st = jax.lax.fori_loop(
+                    0, k,
+                    lambda i, s: pk.permute_n(s, CHAIN, t_tile=tile,
+                                              dots=dots, layout=layout),
+                    st)
+            else:
+                st = pk.permute_n(st, k, t_tile=tile, dots=dots,
+                                  layout=layout)
             return st[:, :1]
         return f
 
@@ -65,18 +84,23 @@ def main():
             np.asarray(f(jnp.uint32(1)))
             print(f"compile {spec} K={k}: {time.time()-t0:.0f}s",
                   flush=True)
+            np.asarray(f(jnp.uint32(1)))          # warm (first exec ~6x slow)
             fns[(spec, k)] = f
 
     rates = {spec: [] for spec in args.variants}
     for r in range(args.rounds):
         for spec in args.variants:
-            times = {}
-            for k in (args.k1, args.k2):
-                t0 = time.time()
-                np.asarray(fns[(spec, k)](jnp.uint32(2 + r)))
-                times[k] = time.time() - t0
-            slope = (times[args.k2] - times[args.k1]) / (args.k2 - args.k1)
-            rate = args.batch / slope
+            times = {args.k1: [], args.k2: []}
+            for rep in range(args.reps):
+                for k in (args.k1, args.k2):
+                    t0 = time.time()
+                    np.asarray(fns[(spec, k)](jnp.uint32(
+                        2 + r * args.reps + rep)))
+                    times[k].append(time.time() - t0)
+            slope = (min(times[args.k2]) - min(times[args.k1])) \
+                / (args.k2 - args.k1)
+            rate = args.batch * perms_per_k / slope if slope > 0 \
+                else float("nan")
             rates[spec].append(rate)
             print(f"round {r} {spec}: {rate/1e6:.3f} M perms/s", flush=True)
 
