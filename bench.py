@@ -34,19 +34,31 @@ def log(msg: str) -> None:
 
 
 # Physical sanity bound for ONE headline round (perms/s).  The timing-only
-# `spsim` kernel variant (columns never reduced — numerically unsound, strictly
-# less work than any value-exact layout) measured 9.72M perms/s on this chip
-# (BASELINE.md round 4).  A round reading ABOVE the unsound ideal + tunnel
-# noise margin cannot be a real execution rate — it means the K1 timing was
-# inflated by tunnel contention (observed: a 40.1M "round" in BENCH_r04.json),
-# so the round is a corrupted sample, not data.  Re-measure spsim and update
-# this constant if the kernel structure changes; override via
+# `spsim` kernel variant (columns never reduced — numerically unsound,
+# strictly less work than any value-exact layout) measured 9.585M perms/s
+# at the shipped headline shape (tile 3328, batch 66560 = exact 20-tile
+# fit, outer-loop protocol, spread ~1% — round 5; cross-checked by the
+# lane-corrected 65536-batch reading 9.583M).  A
+# round reading ABOVE the unsound ideal cannot be a real execution rate —
+# it means the small-K timing was inflated by tunnel contention (observed:
+# a 40.1M "round" in BENCH_r04.json), so the round is a corrupted sample,
+# not data.  Re-measure spsim at the shipped (tile, batch) and update this
+# constant if the kernel structure or shape changes; override via
 # IMT_BENCH_SANITY_MPS for experiments.
-SPSIM_BOUND_PERMS_S = 9.72e6
+SPSIM_BOUND_PERMS_S = 9.59e6
 HEADLINE_ROUNDS = 9      # >= 9 per round-5 protocol (median over valid rounds)
 HEADLINE_REPS = 3        # timings per K per round; min() taken — contention
                          # only ever INFLATES a timing, never deflates it,
                          # so min-of-reps is the principled estimator
+
+
+def classify_round(rate: float, bound: float) -> bool:
+    """True iff a measured round is a VALID sample: positive, finite, and
+    not above the physical sanity bound (a rate above the measured unsound
+    spsim ideal means the small-K timing was inflated by tunnel contention
+    — the round is corrupted, not fast).  Unit-tested in
+    tests/test_gates_utils.py::test_bench_round_classifier."""
+    return 0 < rate <= bound
 
 
 def _setup_jax():
@@ -72,7 +84,14 @@ def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6):
     if engine.startswith("pallas"):
         import os
         from imt_tpu.ops import poseidon_rns_pallas as pk
-        tile = int(os.environ.get("IMT_PALLAS_TILE", pk.DEFAULT_TILE))
+        # WIDE_TILE (3328) is the round-5 swept optimum at the headline
+        # batch (65536): +4.6% over the old 2048 default, resolved only
+        # after the protocol fix cut the spread to ~1%.  Small (smoke)
+        # batches use the batch itself as the tile — permute_n requires
+        # batch % tile == 0.
+        tile = int(os.environ.get("IMT_PALLAS_TILE", pk.WIDE_TILE))
+        if batch < tile:
+            tile = batch
         dots = os.environ.get("IMT_PALLAS_DOTS", pk.DEFAULT_DOTS)
         layout = os.environ.get("IMT_PALLAS_LAYOUT", pk.DEFAULT_LAYOUT)
 
@@ -148,7 +167,7 @@ def bench_perms(batch: int, engine: str, k1: int = 2, k2: int = 6):
                             times[k].append(time.time() - t0)
                     slope = (min(times[k2]) - min(times[k1])) / (k2 - k1)
                     rate = batch * CHAIN / slope if slope > 0 else float("inf")
-                    ok = 0 < rate <= bound
+                    ok = classify_round(rate, bound)
                     (rounds if ok else rejected).append(rate)
                     log(f"round {r}: {rate/1e6:.3f} M perms/s"
                         + ("" if ok else "  REJECTED (corrupted timing: above "
@@ -540,8 +559,13 @@ def main() -> None:
                     # in-kernel); rate from the (K2-K1) slope as ever.
                     # Same-day: chain 7.09M vs per-perm-io 6.83M.
                     default="pallas-chain")
-    ap.add_argument("--batch", type=int, default=1 << 16)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 66560 (= 20 x WIDE_TILE, exact grid "
+                         "fit) for the pallas-chain headline, 65536 "
+                         "otherwise")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 66560 if args.engine == "pallas-chain" else 1 << 16
 
     if args.oracle:
         rate = bench_oracle(4096, 2 if args.smoke else 32)
@@ -610,7 +634,11 @@ def main() -> None:
 
     if args.smoke:
         args.batch = 2048
-        rate, extras = bench_perms(args.batch, args.engine, k1=1, k2=3)
+        # outer-loop iters are compile-free to raise: 25 vs 225 gives a
+        # ~90 ms separation so even the smoke number is sane through the
+        # tunnel (k 1/3 measured pure noise)
+        k1, k2 = (25, 225) if args.engine == "pallas-chain" else (1, 3)
+        rate, extras = bench_perms(args.batch, args.engine, k1=k1, k2=k2)
     elif args.engine == "pallas-chain":
         # outer-loop iteration counts: 5 vs 25 iters x CHAIN=2 perms ->
         # ~290 ms of timed-work separation, far above the tunnel's timing
@@ -619,10 +647,16 @@ def main() -> None:
         rate, extras = bench_perms(args.batch, args.engine, k1=5, k2=25)
     else:
         rate, extras = bench_perms(args.batch, args.engine)
+    # vs_baseline stays against the ORIGINAL 10M target for cross-round
+    # continuity; the round-5 formal re-baseline (BASELINE.json
+    # north_star_revision: >= 95% of the measured spsim structural ideal
+    # 9.585M, i.e. 9.11M) rides the same line as vs_revised_target.
     print(json.dumps({
         "metric": "Poseidon perms/s/chip",
         "value": round(rate, 1), "unit": "perms/s",
         "vs_baseline": round(rate / 10_000_000, 4),
+        "vs_revised_target": round(rate / 9_110_000, 4),
+        "revised_target_mps": 9.11,
         **extras,
     }))
 

@@ -58,7 +58,13 @@ def _tile_for(width: int) -> int:
     small widths share ONE tile-128 kernel structure (padded lanes), which
     replaces the unfused XLA path on the top-of-tree levels — those tiny
     per-level hashes cost ~65 HBM round-trips each under XLA and dominated
-    the batched-insert wall time (tools/profile_batch.py)."""
+    the batched-insert wall time (tools/profile_batch.py).
+
+    Round-5 note: WIDE_TILE (3328) measures +0.9%/lane over 2048 at
+    exact-fit batches, but tree widths are powers of two, so its 1.56%
+    lane padding EXCEEDS the gain — 2048 stays the tree-path tile
+    (pk.WIDE_TILE serves the headline bench, whose batch is chosen to fit
+    it exactly)."""
     from . import poseidon_rns_pallas as pk
     if width >= pk.DEFAULT_TILE:
         return pk.DEFAULT_TILE

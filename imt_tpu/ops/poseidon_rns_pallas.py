@@ -40,6 +40,18 @@ N_CH = 48          # 2n residue channels
 # tools/ab_kernel.py): 2048 -> 7.88M, 4096 -> 7.67M, 8192 -> 7.59M perms/s
 # (the earlier one-shot sweep suggesting 4096 was measurement noise).
 DEFAULT_TILE = 2048
+# Round-5 sweep (outer-loop protocol, spreads <= 1.3%; rates corrected to
+# PROCESSED lanes after the grid-skip bug was found — a batch that does
+# not divide the tile used to silently drop the remainder, inflating the
+# raw readings; permute_n/_hash_fn now refuse such shapes).  opt4,
+# production 2-perm chain, exact-fit or lane-corrected:
+#   2048 -> 9.13M   2560 -> 9.21M   2816 -> 9.21M   3072 -> 9.19M
+#   3328 -> 9.22M   4096 -> 9.18M   8192 -> 9.02M perms/s
+# The 2560-3328 band is ~+0.9% over 2048; tile 4096+ declines slightly.
+# WIDE_TILE serves the headline bench at an exact-fit batch (20 x 3328 =
+# 66560); tree widths are powers of two, where 3328's 1.56% padding
+# exceeds the gain, so DEFAULT_TILE stays 2048 there (hashing._tile_for).
+WIDE_TILE = 3328
 # extension-dot flavor: "bf16" (8-bit digit blocks + fused est row) or
 # "int8" (7-bit digit blocks on the int8 MXU path).  bf16 WINS despite
 # int8's 2x MXU rate: these dots are tiny ([73,48]@[48,3T] — shape-bound,
@@ -69,12 +81,23 @@ DEFAULT_DOTS = "bf16"
 # vs the oracle and every other layout.  "spsim" is the timing-only ideal
 # (columns never reduced — unsound) that upper-bounds this family.
 #
-# Measurement status (round 4, interleaved-median protocol, tile 2048,
-# batch 65536): split 7.73M / opt8 9.25M / opt4 9.30M / spsim(ideal) 9.72M
-# perms/s.  Round-3 status for the older variants: split >= cat (3% within
-# a +-8% spread); the v0* single-shot rankings predate the protocol and
-# are records only.
-DEFAULT_LAYOUT = "opt4"
+# Measurement status (round 5, outer-loop protocol, spreads <= 1.3%,
+# production 2-perm chain, exact-fit grids): opt4@2048 9.13M / opt6@2048
+# 9.27M / opt8@2048 9.08M / opt4@3328(batch 66560) 9.22M /
+# spsim(ideal)@3328 9.585M perms/s — the value-exact kernel is at ~96% of
+# the unsound ideal, and the ideal itself is below the original 10M
+# target (see BASELINE.md round-5 re-baseline).  Round-4 figures at tile
+# 2048 (old +-8% protocol): split 7.73M / opt8 9.25M / opt4 9.30M /
+# spsim 9.72M.
+#
+# opt6 ships as the default after round-5's exact-grid A/Bs had it ahead
+# of opt4 at BOTH tiles (9.265 vs 9.130 @2048; 9.258 vs 9.221 @3328,
+# spreads <= 0.8%): g=6 amortizes the refresh pair over more rounds than
+# g=4 while the combined-coefficient growth still fits the bound
+# (_opt_g caps g at 11).  Value-exactness for g=6 is proven in
+# tests/test_poseidon_opt.py (lazy schedule == standard permutation) and
+# kernel parity in tests/test_poseidon_rns_pallas.py.
+DEFAULT_LAYOUT = "opt6"
 
 # process-wide layout override (EngineConfig(pallas_layout=...) /
 # set_layout): resolved at CALL time by the public hash/permute wrappers,
@@ -1182,6 +1205,11 @@ def _permute_fn(n_perms: int, t_tile: int, interpret: bool,
     def f(st):
         # st: f32[3*48, B] (word j = rows 48j..48j+47)
         b = st.shape[-1]
+        if b % t_tile:
+            # a non-dividing batch would compile a grid of b//t_tile steps
+            # and SILENTLY skip the remainder (grid 0 = kernel never runs)
+            raise ValueError(
+                f"permute_n: batch {b} not a multiple of t_tile {t_tile}")
         grid = (b // t_tile,)
         spec = pl.BlockSpec((3 * N_CH, t_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -1217,6 +1245,11 @@ def _hash_fn(mode: str, t_tile: int, interpret: bool, dots: str = "bf16",
     @jax.jit
     def f(*args):
         b = args[0].shape[-1]
+        if b % t_tile:
+            # the public hash wrappers _pad() to the tile; a direct caller
+            # with a non-dividing batch would silently lose the remainder
+            raise ValueError(
+                f"{mode}: batch {b} not a multiple of t_tile {t_tile}")
         grid = (b // t_tile,)
         io_spec = pl.BlockSpec((N_CH, t_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)

@@ -24,7 +24,7 @@ def test_opt_lazy_schedule_equals_standard():
     params = generate_params()
     opt = optimize_params(params)
     rng = random.Random(0x1A2)
-    for g in (1, 2, 4, 8, 19, 57):
+    for g in (1, 2, 4, 6, 8, 19, 57):
         for trial in range(5):
             st = [rng.randrange(P) for _ in range(3)]
             assert permute_opt_lazy(st, opt, g) == permute(list(st), params), \

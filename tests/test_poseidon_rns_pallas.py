@@ -91,7 +91,8 @@ import pytest
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("layout", ["split", "v0", "v0e", "v0x", "opt8", "opt4"])
+@pytest.mark.parametrize("layout", ["split", "v0", "v0e", "v0x", "opt8",
+                                    "opt4", "opt6"])
 def test_pallas_layout_parity(layout):
     """Every alternate layout (split = no-concat state, v0* = pre-fusion
     round structure with dot/vpu/x estimate flavors) must agree with the

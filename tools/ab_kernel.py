@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3,
                     help="timings per (variant, K) per round; min() taken "
                          "(contention only inflates timings)")
+    ap.add_argument("--chain", type=int, default=2,
+                    help="in-kernel perms per outer iteration (--outer "
+                         "only); comparing --chain 2 vs 6 slopes isolates "
+                         "the pure in-kernel rate from the per-call entry "
+                         "cost")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +58,7 @@ def main():
     shape = (144, args.batch)
     mask = jnp.uint32(0x7FF)
 
-    CHAIN = 2                      # in-kernel perms per outer iteration
+    CHAIN = args.chain             # in-kernel perms per outer iteration
     perms_per_k = CHAIN if args.outer else 1
 
     def make(layout, tile, dots, k):
