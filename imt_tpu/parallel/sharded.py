@@ -227,7 +227,10 @@ class ShardedIndexedMerkleTree:
         # — O(K) collectives independent of tree size, instead of the GSPMD
         # full-state all-gather the collective inventory measured as fatal at
         # config-5 scale (SCALING.md §2).  Falls back to the GSPMD path only
-        # when the active prefix is too small to shard.
+        # when the active prefix is too small to shard, or on a 1-device
+        # mesh: at D=1 the planner's replicated 3K-row planning sort is pure
+        # overhead (measured 0.84-0.90x the plain step, SCALING.md §4) and
+        # the inner single-device program needs no collectives at all.
         self.local_plan = local_plan
         self._inner = (SparseIndexedMerkleTree(depth, initial_capacity_log2)
                        if sparse else IndexedMerkleTree(depth))
@@ -320,7 +323,7 @@ class ShardedIndexedMerkleTree:
                 raise ValueError("tree full")
             d = self._mesh.devices.size
             ad = self.active_depth
-            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+            if d > 1 and (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
                 if self.active_depth != before:
                     self._place()
                 from ..utils.observability import GLOBAL_METRICS
@@ -381,7 +384,7 @@ class ShardedIndexedMerkleTree:
             if self.active_depth != before:
                 self._place()          # growth re-placement (shard-wise)
             ad = self.active_depth
-            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+            if d > 1 and (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
                 return self.insert_batch(vals, witness=True,
                                          as_numpy=as_numpy)
         before = self.active_depth
@@ -412,7 +415,7 @@ class ShardedIndexedMerkleTree:
                 raise ValueError("tree full")
             d = self._mesh.devices.size
             ad = self.active_depth
-            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+            if d > 1 and (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
                 if self.active_depth != before:
                     self._place()
                 oks = local_plan.local_insert_batches(
@@ -443,7 +446,7 @@ class ShardedIndexedMerkleTree:
             # full-state all-gather (parallel/local_plan.py)
             from . import local_plan
             ad = self.active_depth
-            if (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
+            if d > 1 and (1 << ad) % d == 0 and (1 << ad) >= 2 * d:
                 from ..utils.observability import GLOBAL_METRICS
                 GLOBAL_METRICS.record_queries(k)
                 w = local_plan.local_non_inclusion_witness(
