@@ -143,6 +143,38 @@ def test_sharded_device_resident_witness():
             wn.low_leaf_val)).all()
 
 
+def test_one_device_mesh_routes_to_plain_step():
+    """A ShardedIndexedMerkleTree on a 1-device mesh must NOT pay the
+    shard-local planner (measured 0.84-0.90x the plain step at D=1 —
+    SCALING.md §4): every batched API routes to the inner single-device
+    program.  Results must equal the plain tree's."""
+    from unittest import mock
+
+    import numpy as np
+
+    from imt_tpu.parallel import local_plan
+    from imt_tpu.parallel.sharded import ShardedIndexedMerkleTree, make_mesh
+    from imt_tpu.tree.indexed import IndexedMerkleTree
+
+    mesh = make_mesh(1)
+    t = ShardedIndexedMerkleTree(6, mesh=mesh)
+    ref = IndexedMerkleTree(6)
+    fail = mock.Mock(side_effect=AssertionError(
+        "local planner must not run on a 1-device mesh"))
+    with mock.patch.multiple(local_plan,
+                             local_insert_batch=fail,
+                             local_insert_batches=fail,
+                             local_insert_batch_witness=fail,
+                             local_non_inclusion_witness=fail):
+        assert t.insert_batch([30, 10, 20]).tolist() == \
+            ref.insert_batch([30, 10, 20]).tolist()
+        w1, w2 = t.insert(42), ref.insert(42)
+        assert (np.asarray(w1.new_root) == np.asarray(w2.new_root)).all()
+        nw = t.non_inclusion_witness([21, 20])
+        assert nw.ok.tolist() == [True, False]
+    assert t.get_root_int() == ref.get_root_int()
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """ShardedIndexedMerkleTree: checkpoint on one mesh, resume on another
     (here the same 1-device mesh), same roots and further inserts agree."""
