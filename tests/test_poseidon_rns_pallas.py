@@ -139,3 +139,32 @@ def test_pallas_nonmultiple_batch_padding():
     g2 = field.limbs_to_ints(np.asarray(
         pk.hash2(la, lb, t_tile=128, interpret=True)))
     assert g2 == [hash_fixed([a, b], PARAMS) for a, b in zip(xs, ys)]
+
+
+def test_outer_loop_chain_equals_inkernel_chain():
+    """The round-5 headline protocol times `fori_loop(J, permute_n(CHAIN=2))`
+    — this pins that the measured computation IS J*2 chained permutations:
+    outer-loop chaining must equal one in-kernel chain of the same length
+    (raw residues compared: same layout, same representatives)."""
+    import jax
+    import jax.numpy as jnp
+
+    st = jnp.asarray((np.arange(3 * 48 * 128, dtype=np.uint32)
+                      .reshape(3 * 48, 128) & 0x7FF).astype(np.float32))
+    outer = jax.lax.fori_loop(
+        0, 3, lambda i, s: pk.permute_n(s, 2, t_tile=128, interpret=True),
+        st)
+    inker = pk.permute_n(st, 6, t_tile=128, interpret=True)
+    assert (np.asarray(outer) == np.asarray(inker)).all()
+
+
+def test_permute_n_rejects_nondividing_batch():
+    """permute_n used to SILENTLY skip remainder lanes when the batch did
+    not divide the tile (grid truncation — the round-5 grid-skip bug);
+    it must raise instead."""
+    import jax.numpy as jnp
+    import pytest
+
+    st = jnp.zeros((3 * 48, 200), jnp.float32)
+    with pytest.raises(ValueError, match="not a multiple"):
+        pk.permute_n(st, 1, t_tile=128, interpret=True)
