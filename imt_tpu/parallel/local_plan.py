@@ -17,18 +17,21 @@ Algorithm (mesh of D shards, each owning C = N/D contiguous slots):
      above1 = smallest local participant with value  > q
 2. EXCHANGE: all_gather of the candidate (val, slot, found) triples —
    2 × D × K × 68 B, independent of N.
-3. REPLICATED reduced planning: lexicographic max/min across shards give
-   the global below1/above1 per query; the entry table
-   [sentinel, below1*, above1*, new values] (3K+1 rows) is run through the
-   same sort/eq_prev/cummax-cummin planner as `_plan_batch`.  Proof of
-   sufficiency: every pointer that can change belongs to a below1/above1
-   candidate (if some non-included participant sat between a rewritten
-   entry and its new successor, it would itself be a below1/above1 of that
-   successor — contradiction), and an existing entry's pointers are written
-   ONLY when its reduced-order successor is an accepted NEW entry, so
-   entries whose true neighborhood was not gathered are never touched.
+3. REPLICATED rank-space planning (round 5 — O(K) elementwise, no table
+   sort): lexicographic max/min across shards give the global
+   below1/above1 per query; in new-value rank order (recovered from step
+   1's local sort by a 1-key argsort) those candidate lists are monotone,
+   so acceptance, low/successor resolution and the existing-entry rewrite
+   rows reduce to cumulative scans + field compares (`_rank_plan` — its
+   docstring carries the per-reduction proofs).  Sufficiency of the
+   candidates is unchanged from the entry-table formulation: every
+   pointer that can change belongs to a below1/above1 candidate (if some
+   non-included participant sat between a rewritten entry and its new
+   successor, it would itself be a below1/above1 of that successor —
+   contradiction), and an existing entry's pointers are written ONLY when
+   an accepted NEW entry lands directly after it.
 4. LOCAL application: each shard scatters the rows it owns (new slots +
-   flagged candidates), the ≤ 3K+1 dirty leaf hashes are computed SHARDED
+   flagged candidates), the 2K dirty leaf hashes are computed SHARDED
    (each shard hashes its 1/D slice, one all_gather of the [48, ·] hash
    columns), the local subtree updates dirty paths level-by-level, and ONE
    all_gather of the D subtree roots feeds a replicated top rebuild —
@@ -59,6 +62,95 @@ def _pack_keys(vals):
     """uint32[16, M] canonical limbs -> 8 packed sort keys, MSB first."""
     return tuple((vals[2 * j + 1] << 16) | vals[2 * j]
                  for j in range(field.LIMBS // 2 - 1, -1, -1))
+
+
+def _rank_plan(new_vals, slots, qpos, blo_v, blo_s, blo_f,
+               bhi_v, bhi_s, bhi_f, k: int):
+    """Rank-space reduced planner (round 5) — replaces the replicated
+    (3K+1)-row 9-key entry-table sort of the original step 3.
+
+    Sorting the entry table is unnecessary: in new-value rank order the
+    global below1/above1 candidate lists are monotone, so acceptance, the
+    final predecessor/successor, and the existing-entry rewrite rows all
+    resolve with O(K) cumulative scans and field compares.  The rank
+    permutation itself comes free from step 1's local sort: the K queries'
+    relative order there IS (value, batch-index) order — identical to the
+    entry table's (value, slot) tie-break because new slots are assigned
+    in batch order and participant slots (<= count) precede them — so ONE
+    1-key argsort of the query positions replaces the 9-key sort.  The
+    replicated planning term in SCALING.md §4's correction drops from a
+    3K-row multiway sort to K-row elementwise work.
+
+    Correctness of the reductions (all values below are per rank r):
+    * acceptance: a new value is rejected iff it ties a participant
+      (below1 catches ties: equal values sort before the query, so
+      blo_v == v) or ties the previous rank's value (intra-batch dup;
+      value 0 ties the slot-0 sentinel, so zeros reject automatically).
+    * low: max(blo, previous ACCEPTED new value) — no other entry can lie
+      between them (blo is the largest participant below v, and accepted
+      new values are distinct from every participant, so the compare is
+      strict).
+    * final successor: min(bhi, next accepted new value), has-successor
+      iff either exists.
+    * wr rows: an existing entry is rewritten iff it is the low of an
+      accepted new entry, i.e. acc & ~lo_is_new; at most one accepted
+      rank per blo target (an earlier accepted rank with the same blo
+      would itself become the later rank's low), so the scatter targets
+      stay unique.
+
+    qpos: int32[K] — each query's position in the step-1 local sort
+    (any shard's; the relative order of queries is shard-independent).
+    Returns a dict of per-insert facts in BATCH order, plus the rank
+    permutation pair (vrank, brank) and rank-order acceptance for the
+    temporal (witness) planner.
+    """
+    iota = jnp.arange(k, dtype=jnp.int32)
+    _, vrank = jax.lax.sort((qpos, iota), num_keys=1)   # rank -> batch
+    brank = jnp.zeros((k,), jnp.int32).at[vrank].set(iota)  # batch -> rank
+    t_r = lambda a: jnp.take(a, vrank, axis=-1)
+    b_r = lambda a: jnp.take(a, brank, axis=-1)
+
+    v_r = t_r(new_vals)
+    slot_r = t_r(slots)
+    blo_v_r, blo_s_r, blo_f_r = t_r(blo_v), t_r(blo_s), t_r(blo_f)
+    bhi_v_r, bhi_f_r = t_r(bhi_v), t_r(bhi_f)
+
+    dup_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool),
+         jnp.all(v_r[:, 1:] == v_r[:, :-1], axis=0)])
+    dup_part = blo_f_r & jnp.all(v_r == blo_v_r, axis=0)
+    acc_r = ~dup_prev & ~dup_part
+
+    pa = jax.lax.cummax(jnp.where(acc_r, iota, -1))     # prev accepted rank
+    pa = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pa[:-1]])
+    pa_c = jnp.clip(pa, 0, k - 1)
+    v_pa = jnp.take(v_r, pa_c, axis=1)
+    lo_is_new_r = (pa >= 0) & (~blo_f_r | field.less_than(blo_v_r, v_pa))
+    low_val_r = jnp.where(lo_is_new_r[None], v_pa, blo_v_r)
+    low_slot_r = jnp.where(lo_is_new_r, jnp.take(slot_r, pa_c), blo_s_r)
+
+    na = jax.lax.cummin(jnp.where(acc_r, iota, k), reverse=True)
+    na = jnp.concatenate([na[1:], jnp.full((1,), k, jnp.int32)])
+    has_na = na < k
+    na_c = jnp.clip(na, 0, k - 1)
+    v_na = jnp.take(v_r, na_c, axis=1)
+    succ_is_new_r = has_na & (~bhi_f_r | field.less_than(v_na, bhi_v_r))
+    fin_succ_val_r = jnp.where(
+        succ_is_new_r[None], v_na, jnp.where(bhi_f_r[None], bhi_v_r, 0))
+    fin_succ_slot_r = jnp.where(
+        succ_is_new_r, jnp.take(slot_r, na_c),
+        jnp.where(bhi_f_r, t_r(bhi_s), 0))
+    has_fin_r = has_na | bhi_f_r
+
+    return dict(
+        vrank=vrank, brank=brank, acc_r=acc_r,
+        ok=b_r(acc_r),
+        lo_is_new=b_r(lo_is_new_r),
+        low_val=b_r(low_val_r), low_slot=b_r(low_slot_r),
+        fin_succ_val=b_r(fin_succ_val_r),
+        fin_succ_slot=b_r(fin_succ_slot_r),
+        has_fin=b_r(has_fin_r),
+    )
 
 
 def _lex_reduce(cand_val, cand_slot, cand_found, take_max: bool):
@@ -94,15 +186,14 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
     the K new slots are globally contiguous, so each shard covers its
     overlap with a K-wide clamped dense window whose width halves per
     level — writes outside the true overlap recompute unchanged parents
-    (idempotent).  Only the ≤K pointer-rewrite rows (compacted from the
-    3K+1-row entry table by a 1-key sort — each accepted new entry has at
-    most one existing-entry predecessor) ride gathered dirty paths."""
+    (idempotent).  Only the ≤K pointer-rewrite rows (one lane per insert
+    straight out of the rank-space planner — each accepted new entry has
+    at most one existing-entry predecessor) ride gathered dirty paths."""
     mesh = _MESHES[mesh_key]
     n = 1 << depth
     c = n // d                       # slots per shard
     l_loc = c.bit_length() - 1       # sharded levels: 0..l_loc
     m_loc = c + k
-    e = 1 + 2 * k + k                # reduced entry table rows
 
     def batch_body(vals, nvs, nis, lower, new_vals, count, sid, off, gslot):
         # ---- 1. local candidate search --------------------------------
@@ -142,58 +233,25 @@ def _local_insert_batch_fn(depth: int, k: int, d: int, mesh_key,
         bhi_v, bhi_s, bhi_f = _lex_reduce(ag(hi_val), ag(hi_slot),
                                           ag(hi_found), take_max=False)
 
-        # ---- 3. replicated reduced planning ---------------------------
+        # ---- 3. replicated rank-space planning (O(K), no table sort) ----
         slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
-        zcol = jnp.zeros((field.LIMBS, 1), jnp.uint32)
-        ev = jnp.concatenate(
-            [zcol, blo_v * blo_f, bhi_v * bhi_f, new_vals], axis=1)
-        es = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.where(blo_f, blo_s, 0),
-             jnp.where(bhi_f, bhi_s, 0), slots]).astype(jnp.uint32)
-        enew = jnp.concatenate(
-            [jnp.zeros(1 + 2 * k, bool), jnp.ones(k, bool)])
-        eops = jax.lax.sort(
-            _pack_keys(ev) + (es, jnp.arange(e, dtype=jnp.int32)),
-            num_keys=9)
-        eorder = eops[-1]
-        sv = jnp.take(ev, eorder, axis=1)
-        ss = jnp.take(es, eorder).astype(jnp.int32)
-        snew = jnp.take(enew, eorder)
-        eq_prev = jnp.all(sv[:, 1:] == sv[:, :-1], axis=0)
-        acc = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
-        epos = jnp.arange(e, dtype=jnp.int32)
-        nxt_a = jax.lax.cummin(jnp.where(acc, epos, e), reverse=True)
-        nxt_a = jnp.concatenate([nxt_a[1:], jnp.full((1,), e, jnp.int32)])
-        has_nxt = nxt_a < e
-        nxt_c = jnp.clip(nxt_a, 0, e - 1)
-        succ_val = jnp.where(has_nxt, jnp.take(sv, nxt_c, axis=1), 0)
-        succ_slot = jnp.where(has_nxt, jnp.take(ss, nxt_c), 0)
-        succ_new = jnp.where(has_nxt, jnp.take(snew, nxt_c), False)
-
-        einv = jnp.zeros((e,), jnp.int32).at[eorder].set(epos)
-        pos_new = einv[1 + 2 * k:]                               # [K]
-        ok = jnp.take(acc, pos_new)
+        rp = _rank_plan(new_vals, slots, qpos, blo_v, blo_s, blo_f,
+                        bhi_v, bhi_s, bhi_f, k)
+        ok = rp["ok"]
         okm = ok[None]
         nrow_val = jnp.where(okm, new_vals, 0)
-        nrow_nv = jnp.where(okm, jnp.take(succ_val, pos_new, axis=1), 0)
-        nrow_ni_slot = jnp.where(ok, jnp.take(succ_slot, pos_new), 0)
+        nrow_nv = jnp.where(okm, rp["fin_succ_val"], 0)
+        nrow_ni_slot = jnp.where(ok, rp["fin_succ_slot"], 0)
         nrow_ni = indexed.index_to_limbs(nrow_ni_slot)
 
-        # existing candidates (sorted positions that are accepted, not new,
-        # and whose accepted successor is a NEW entry) get pointer rewrites.
-        # At most K rows are real (one existing predecessor max per accepted
-        # new entry) — compact the e-row table to K lanes with a 1-key sort
-        # so the dirty-path walk below carries K columns, not 3K+1.
-        wr = acc & ~snew & succ_new
-        _, widx = jax.lax.sort(
-            ((~wr).astype(jnp.uint32), epos), num_keys=1)
-        widx = widx[:k]                                          # [K]
-        wr_k = jnp.take(wr, widx)
-        wr_slot = jnp.where(wr_k, jnp.take(ss, widx), n)   # n = drop
-        wr_nv = jnp.where(wr_k[None], jnp.take(succ_val, widx, axis=1), 0)
-        wr_ni = indexed.index_to_limbs(
-            jnp.where(wr_k, jnp.take(succ_slot, widx), 0))
-        wr_val = jnp.where(wr_k[None], jnp.take(sv, widx, axis=1), 0)
+        # existing-entry pointer rewrites: the low of an accepted new entry
+        # when that low is an existing participant — already K lanes, no
+        # compaction sort needed (targets unique: see _rank_plan docstring)
+        wr_k = ok & ~rp["lo_is_new"]
+        wr_slot = jnp.where(wr_k, blo_s, n)                # n = drop
+        wr_nv = jnp.where(wr_k[None], new_vals, 0)
+        wr_ni = indexed.index_to_limbs(jnp.where(wr_k, slots, 0))
+        wr_val = jnp.where(wr_k[None], blo_v, 0)
 
         # ---- 4a. scatter owned rows -----------------------------------
         def loc(g):
@@ -571,7 +629,6 @@ def _local_insert_batch_witness_fn(depth: int, k: int, d: int, mesh_key,
     c = n // d
     l_loc = c.bit_length() - 1       # sharded levels: 0..l_loc
     m_loc = c + k
-    e = 1 + 2 * k + k                # reduced entry table rows
 
     def shard_fn(vals, nvs, nis, *rest):
         from ..tree.batch_witness import _ansv_prev, _witness_walk
@@ -620,51 +677,18 @@ def _local_insert_batch_witness_fn(depth: int, k: int, d: int, mesh_key,
         bhi_v, bhi_s, bhi_f = _lex_reduce(ag(hi_val), ag(hi_slot),
                                           ag(hi_found), take_max=False)
 
-        # ---- 3. replicated planning over the reduced table ---------------
+        # ---- 3. replicated rank-space planning (O(K), no table sort) ----
         slots = count + 1 + jnp.arange(k, dtype=jnp.int32)
-        zcol = jnp.zeros((field.LIMBS, 1), jnp.uint32)
-        ev = jnp.concatenate(
-            [zcol, blo_v * blo_f, bhi_v * bhi_f, new_vals], axis=1)
-        es = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.where(blo_f, blo_s, 0),
-             jnp.where(bhi_f, bhi_s, 0), slots]).astype(jnp.uint32)
-        enew = jnp.concatenate(
-            [jnp.zeros(1 + 2 * k, bool), jnp.ones(k, bool)])
-        epart = jnp.concatenate(
-            [jnp.ones(1, bool), blo_f, bhi_f, jnp.zeros(k, bool)])
-        eops = jax.lax.sort(
-            _pack_keys(ev) + (es, jnp.arange(e, dtype=jnp.int32)),
-            num_keys=9)
-        eorder = eops[-1]
-        ss = jnp.take(es, eorder).astype(jnp.int32)
-        snew = jnp.take(enew, eorder)
-        epart_s = jnp.take(epart, eorder)
-        eq_prev = eops[0][1:] == eops[0][:-1]
-        for r in range(1, 8):
-            eq_prev &= eops[r][1:] == eops[r][:-1]
-        accepted = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
-
-        epos = jnp.arange(e, dtype=jnp.int32)
-        nxt_a = jax.lax.cummin(jnp.where(accepted, epos, e), reverse=True)
-        nxt_a = jnp.concatenate([nxt_a[1:], jnp.full((1,), e, jnp.int32)])
-        prv_a = jax.lax.cummax(jnp.where(accepted, epos, -1))
-        prv_a = jnp.concatenate([jnp.zeros((1,), jnp.int32), prv_a[:-1]])
-
-        einv = jnp.zeros((e,), jnp.int32).at[eorder].set(epos)
-        pos_new = einv[1 + 2 * k:]                               # [K]
-        ok = jnp.take(accepted, pos_new)
+        rp = _rank_plan(new_vals, slots, qpos, blo_v, blo_s, blo_f,
+                        bhi_v, bhi_s, bhi_f, k)
+        ok = rp["ok"]
         okm = ok[None]
 
         # final-state (post-batch) successor/predecessor per insert
-        nxt_new = jnp.take(nxt_a, pos_new)
-        has_fin = nxt_new < e
-        nxt_c = jnp.clip(nxt_new, 0, e - 1)
-        fin_succ_val = jnp.where(
-            has_fin & ok, jnp.take(ev, jnp.take(eorder, nxt_c), axis=1), 0)
-        fin_succ_slot = jnp.where(has_fin & ok, jnp.take(ss, nxt_c), 0)
-        fin_prev_slot = jnp.take(
-            ss, jnp.clip(jnp.take(prv_a, pos_new), 0, e - 1))
-        low_tgt = jnp.where(ok, fin_prev_slot, n)
+        fin_succ_val = jnp.where(okm & rp["has_fin"][None],
+                                 rp["fin_succ_val"], 0)
+        fin_succ_slot = jnp.where(ok & rp["has_fin"], rp["fin_succ_slot"], 0)
+        low_tgt = jnp.where(ok, rp["low_slot"], n)
 
         def loc(g):
             owned = (g >= off) & (g < off + c)
@@ -679,47 +703,43 @@ def _local_insert_batch_witness_fn(depth: int, k: int, d: int, mesh_key,
         nis2 = nis2.at[:, loc(slots)].set(
             indexed.index_to_limbs(fin_succ_slot), mode="drop")
 
-        # ---- temporal planning (ANSV over the reduced table) -------------
-        prv_e = jax.lax.cummax(jnp.where(epart_s, epos, -1))
-        prv_e = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv_e[:-1]])
-        nxt_e = jax.lax.cummin(jnp.where(epart_s, epos, e), reverse=True)
-        nxt_e = jnp.concatenate([nxt_e[1:], jnp.full((1,), e, jnp.int32)])
-        acc_new_s = snew & accepted
-        step_of_entry = jnp.concatenate(
-            [jnp.full((1 + 2 * k,), -1, jnp.int32),
-             jnp.arange(k, dtype=jnp.int32)])
-        step_s = jnp.take(step_of_entry, eorder)
+        # ---- temporal planning (ANSV in rank space) ----------------------
+        # Insert i's TEMPORAL low/successor = its neighbors among existing
+        # participants (== the blo/bhi candidates — no other participant
+        # can sit between a value and its below1/above1) and the accepted
+        # new entries whose STEP precedes i's.  The intra-batch part is the
+        # same ANSV descent as before, run directly over rank order; the
+        # participant part is a field compare against blo/bhi instead of a
+        # positional max/min in the (now gone) sorted entry table.
+        vrank, brank, acc_r = rp["vrank"], rp["brank"], rp["acc_r"]
+        t_r = lambda a: jnp.take(a, vrank, axis=-1)
+        t_b = lambda a: jnp.take(a, brank, axis=-1)
+        v_r = t_r(new_vals)
+        slot_r = t_r(slots)
+        blo_v_r, blo_s_r, blo_f_r = t_r(blo_v), t_r(blo_s), t_r(blo_f)
+        bhi_v_r, bhi_s_r, bhi_f_r = t_r(bhi_v), t_r(bhi_s), t_r(bhi_f)
 
-        spn, ids = jax.lax.sort(
-            (pos_new, jnp.arange(k, dtype=jnp.int32)), num_keys=1)
-        sigma = jnp.where(jnp.take(acc_new_s, spn),
-                          jnp.take(step_s, spn), big)
-        my_rank = jnp.zeros((k,), jnp.int32).at[ids].set(
-            jnp.arange(k, dtype=jnp.int32))
-        thr = jnp.arange(k, dtype=jnp.int32)
-        lo_r, lo_f2 = _ansv_prev(sigma, jnp.take(thr, ids))
-        hi_r_rev, hi_f_rev = _ansv_prev(sigma[::-1],
-                                        jnp.take(thr, ids)[::-1])
-        lo_pos_new = jnp.where(lo_f2, jnp.take(spn, lo_r), -1)
+        sigma = jnp.where(acc_r, vrank, big)          # step of rank r
+        lo_r, lo_f2 = _ansv_prev(sigma, vrank)
+        hi_r_rev, hi_f_rev = _ansv_prev(sigma[::-1], vrank[::-1])
         hi_r = k - 1 - hi_r_rev[::-1]
         hi_f2 = hi_f_rev[::-1]
-        hi_pos_new = jnp.where(
-            hi_f2, jnp.take(spn, jnp.clip(hi_r, 0, k - 1)), e)
-        lo_pos_new_i = jnp.take(lo_pos_new, my_rank)
-        hi_pos_new_i = jnp.take(hi_pos_new, my_rank)
 
-        low_pos = jnp.maximum(jnp.take(prv_e, pos_new), lo_pos_new_i)
-        low_pos_c = jnp.clip(low_pos, 0, e - 1)
-        succ_pos = jnp.minimum(jnp.take(nxt_e, pos_new), hi_pos_new_i)
-        has_succ = succ_pos < e
-        succ_pos_c = jnp.clip(succ_pos, 0, e - 1)
+        lo_c = jnp.clip(lo_r, 0, k - 1)
+        tl_val = jnp.take(v_r, lo_c, axis=1)          # temporal-new low
+        tlo_new = lo_f2 & (~blo_f_r | field.less_than(blo_v_r, tl_val))
+        low_val_r = jnp.where(tlo_new[None], tl_val, blo_v_r)
+        low_slot_r = jnp.where(tlo_new, jnp.take(slot_r, lo_c), blo_s_r)
+        hi_c = jnp.clip(hi_r, 0, k - 1)
+        th_val = jnp.take(v_r, hi_c, axis=1)          # temporal-new succ
+        thi_new = hi_f2 & (~bhi_f_r | field.less_than(th_val, bhi_v_r))
+        succ_val_r = jnp.where(thi_new[None], th_val,
+                               jnp.where(bhi_f_r[None], bhi_v_r, 0))
+        succ_slot_r = jnp.where(thi_new, jnp.take(slot_r, hi_c),
+                                jnp.where(bhi_f_r, bhi_s_r, 0))
 
-        low_slot = jnp.take(ss, low_pos_c).astype(jnp.int32)
-        low_val = jnp.take(ev, jnp.take(eorder, low_pos_c), axis=1)
-        succ_val = jnp.where(
-            has_succ, jnp.take(ev, jnp.take(eorder, succ_pos_c), axis=1), 0)
-        succ_slot = jnp.where(has_succ, jnp.take(ss, succ_pos_c),
-                              0).astype(jnp.int32)
+        low_val, low_slot = t_b(low_val_r), t_b(low_slot_r)
+        succ_val, succ_slot = t_b(succ_val_r), t_b(succ_slot_r)
         succ_idx = indexed.index_to_limbs(succ_slot)
         slots_limbs = indexed.index_to_limbs(slots)
 

@@ -29,8 +29,9 @@ with the hashing fully batched:
   (low path at step i-1, new path at step i: the reference's
   already-updated-tree discipline, src/indexed_merkle_tree.rs:734) and both
   parent-hash children — resolve in ONE stable sort-merge over updates +
-  queries (_merge_resolve: O((M+Q) log) total, no serialized binary-search
-  gather rounds), and the 2K parent hashes run as ONE batched hash2 (width
+  queries (one stable sort-merge per level, O((M+Q) log) total, no
+  serialized binary-search gather rounds), and the 2K parent hashes run as
+  ONE batched hash2 (width
   2K — the hash engine's happy regime).  The root level's merge yields
   every intermediate root: old_root_i = root at step i-1, new_root_i =
   root at step i.
@@ -80,41 +81,6 @@ def _ansv_prev(sigma, thresholds):
         pos = jnp.where(skip, pos - w, pos)
     found = pos > 0
     return jnp.clip(pos - 1, 0, k - 1), found
-
-
-def _merge_resolve(upd_node, upd_step, upd_val, qnode, qstep, base):
-    """Batch-resolve "value of node qnode at step qstep" against M
-    timestamped updates: the latest update with step <= qstep wins, else
-    `base` (the pre-batch level value).
-
-    ONE stable 2-key sort over updates+queries (a merge), a cumulative max
-    of update positions, and a scatter back to query order — O((M+Q) log)
-    TOTAL, replacing the former per-query lexicographic binary search
-    (~log M serialized gather rounds per level, the 3w throughput culprit).
-
-    upd_node/upd_step: int32[M]; upd_val: [CH, M]; qnode/qstep: int32[Q]
-    (qstep may be -1); base: [CH, Q].  Tie discipline: key2 = 2*step + kind
-    places a query at (n, t) AFTER every update with step <= t at that node
-    (inclusive compare), and the stable sort keeps update order, so the
-    cummax picks the LAST update at equal (node, step) — identical contract
-    to the binary search's rightmost-match."""
-    m = upd_node.shape[0]
-    q = qnode.shape[0]
-    tot = m + q
-    node_all = jnp.concatenate([upd_node, qnode])
-    kind = jnp.concatenate([jnp.zeros(m, jnp.int32), jnp.ones(q, jnp.int32)])
-    key2 = 2 * jnp.concatenate([upd_step, qstep]) + kind
-    ids = jnp.arange(tot, dtype=jnp.int32)
-    ns, _, ks, pid = jax.lax.sort((node_all, key2, kind, ids), num_keys=2)
-    pos = jnp.arange(tot, dtype=jnp.int32)
-    last_upd = jax.lax.cummax(jnp.where(ks == 0, pos, -1))
-    p_c = jnp.clip(last_upd, 0, tot - 1)
-    hit = (last_upd >= 0) & (jnp.take(ns, p_c) == ns)
-    ans = jnp.take(pid, p_c)                   # update-array index (kind-0 row)
-    qid = jnp.where(ks == 1, pid - m, tot)     # scatter slot; tot = dropped
-    res_idx = jnp.zeros((q,), jnp.int32).at[qid].set(ans, mode="drop")
-    res_hit = jnp.zeros((q,), dtype=bool).at[qid].set(hit, mode="drop")
-    return jnp.where(res_hit, jnp.take(upd_val, res_idx, axis=1), base)
 
 
 def _witness_walk(take_base, scatter_level, root_col, l_path, n_path,
