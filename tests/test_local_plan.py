@@ -235,3 +235,98 @@ def test_local_plan_bit_exact_subprocess():
                          cwd=os.path.dirname(here))
     assert out.returncode == 0, out.stderr[-3000:]
     assert "LOCAL-PLAN-OK" in out.stdout
+
+
+def test_rank_plan_unit():
+    """Direct contract test of local_plan._rank_plan against a brute-force
+    sequential simulation — crafted lanes the integration A/Bs only hit by
+    luck: duplicate-of-participant, intra-batch duplicate, zero, a low that
+    is another accepted new entry, and two accepted entries whose naive low
+    would be the same participant (uniqueness of wr targets)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from imt_tpu.ops import field
+    from imt_tpu.parallel.local_plan import _rank_plan
+
+    # participants: sentinel (0, slot 0) + values 100 (slot 1), 200 (slot 2)
+    parts = [(0, 0), (100, 1), (200, 2)]
+    new = [150, 150, 300, 100, 0, 120]
+    k = len(new)
+    count = 2
+    slots_py = [count + 1 + i for i in range(k)]
+
+    # qpos: query positions in a (value, is_query, idx)-sorted local table —
+    # only the RELATIVE order of queries matters; emulate with (value, idx)
+    order = sorted(range(k), key=lambda i: (new[i], i))
+    qpos_py = [0] * k
+    for r, i in enumerate(order):
+        qpos_py[i] = r
+
+    # brute-force global below1/above1 per query (ties: below1 catches ==)
+    blo, bhi = [], []
+    for v in new:
+        below = [pv for pv in parts if pv[0] <= v]
+        above = [pv for pv in parts if pv[0] > v]
+        blo.append(max(below) if below else None)
+        bhi.append(min(above) if above else None)
+
+    def col(ints):
+        return jnp.asarray(field.ints_to_limbs(ints))
+
+    rp = _rank_plan(
+        col(new), jnp.asarray(slots_py, jnp.int32),
+        jnp.asarray(qpos_py, jnp.int32),
+        col([b[0] if b else 0 for b in blo]),
+        jnp.asarray([b[1] if b else 0 for b in blo], jnp.int32),
+        jnp.asarray([b is not None for b in blo]),
+        col([b[0] if b else 0 for b in bhi]),
+        jnp.asarray([b[1] if b else 0 for b in bhi], jnp.int32),
+        jnp.asarray([b is not None for b in bhi]), k)
+
+    # brute-force sequential acceptance + FINAL-list neighbors
+    live = {v: s for v, s in parts}            # value -> slot
+    ok_exp, low_exp, succ_exp = [], [], []
+    for i, v in enumerate(new):
+        if v in live:
+            ok_exp.append(False)
+            low_exp.append(None)
+            succ_exp.append(None)
+            continue
+        ok_exp.append(True)
+        live[v] = slots_py[i]
+        low_exp.append(i)
+        succ_exp.append(i)
+    fin = sorted(live)
+    ok = np.asarray(rp["ok"])
+    assert list(ok) == ok_exp, (list(ok), ok_exp)
+    low_slot = np.asarray(rp["low_slot"])
+    fs_val = field.limbs_to_ints(np.asarray(rp["fin_succ_val"]))
+    fs_slot = np.asarray(rp["fin_succ_slot"])
+    has_fin = np.asarray(rp["has_fin"])
+    lo_is_new = np.asarray(rp["lo_is_new"])
+    for i, v in enumerate(new):
+        if not ok_exp[i]:
+            continue
+        pos = fin.index(v)
+        exp_low_val = fin[pos - 1]             # sentinel 0 guarantees pos>0
+        exp_low_slot = live[exp_low_val]
+        assert low_slot[i] == exp_low_slot, (i, low_slot[i], exp_low_slot)
+        acc_new_vals = {new[j] for j in range(k) if ok_exp[j]}
+        assert bool(lo_is_new[i]) == (exp_low_val in acc_new_vals), i
+        if pos + 1 < len(fin):
+            assert bool(has_fin[i]) and fs_val[i] == fin[pos + 1] \
+                and fs_slot[i] == live[fin[pos + 1]], i
+        else:
+            assert not bool(has_fin[i]) and fs_val[i] == 0 \
+                and fs_slot[i] == 0, i
+    # wr-target uniqueness: accepted lanes whose low is an existing entry
+    wr_targets = [int(low_slot[i]) for i in range(k)
+                  if ok_exp[i] and not lo_is_new[i]]
+    assert len(wr_targets) == len(set(wr_targets)), wr_targets
+    # the crafted case: 120 and 150 both sit above participant 100, but
+    # only 120 (the lower) rewrites it — 150's low must be the NEW 120
+    i120, i150 = new.index(120), new.index(150)
+    assert not lo_is_new[i120] and low_slot[i120] == 1
+    assert lo_is_new[i150] and low_slot[i150] == slots_py[i120]
